@@ -1,0 +1,127 @@
+"""RNS base manipulation: signed single-limb lifts and the exact
+divide-by-last-limb-with-rounding kernel shared by CKKS rescaling, BGV
+modulus switching, and the special-prime drop after key switching
+(≙ /root/reference/src/fhe/common/rns_transform.cpp:11-37,
+src/fhe/ckks/rescaling.cpp:14-78, src/fhe/bgv/mod_switch.cpp:13-78 —
+the reference encapsulation TODO at rescaling.cpp:46 realized).
+
+These are exact integer algorithms; all steps below are elementwise with
+per-limb host constants, so the whole kernel fuses into one XLA computation
+per ciphertext half.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hehub_tpu.core import rns
+from hehub_tpu.core.context import Context
+from hehub_tpu.core.rns import COEFF, NTT, RnsPoly
+from hehub_tpu.ops import modarith as ma
+from hehub_tpu.ops import ntt as nttmod
+from hehub_tpu.utils import hostmath as hm
+
+U32 = jnp.uint32
+
+
+def lift_signed_single(
+    ctx: Context, coeffs, src_mod: int, dst_ids: Tuple[int, ...]
+) -> RnsPoly:
+    """Signed lift of strict residues mod t (t < 2^29 <= q_j) into the limbs
+    `dst_ids`: values >= t/2 are treated as negative
+    (≙ rns_base_transform_from_single, rns_transform.cpp:11-37).
+    coeffs: [..., n] uint32 in [0, t)."""
+    t = int(src_mod)
+    q = ctx.rows("q", dst_ids)  # [L, 1]
+    if t >= int(q.min()):
+        raise ValueError("signed single lift requires t < every target modulus")
+    x = coeffs[..., None, :]
+    half_t = U32(t // 2)
+    lifted = jnp.where(x < half_t, x, x + q - U32(t))
+    return RnsPoly(lifted.astype(U32), COEFF, dst_ids)
+
+
+def div_last_rounded(
+    ctx: Context,
+    poly: RnsPoly,
+    plain_modulus: Optional[int] = None,
+) -> RnsPoly:
+    """Exactly divide an NTT-form polynomial by its last RNS limb q_last with
+    rounding, dropping that limb.
+
+    plain_modulus=None: CKKS/raw flavor — out ≡ round(x / q_last) mod q_j
+    (≙ rescale_by_one_prime_inplace, rescaling.cpp:14-78).
+
+    plain_modulus=t: BGV flavor — divides by q_last while preserving the
+    value mod t via the t^{-1} mod q_last correction, then restores the
+    plaintext scale with (q_last mod t)
+    (≙ mod_drop_one_prime_inplace, mod_switch.cpp:13-78).
+    """
+    if poly.form != NTT:
+        raise ValueError("div_last_rounded expects NTT form")
+    if poly.limb_count < 2:
+        raise ValueError("cannot drop the only limb")
+    ids = poly.limb_ids
+    last_id = ids[-1]
+    rem_ids = ids[:-1]
+    q_last = ctx.mod_list[last_id]
+    rem_mods = ctx.moduli_of(rem_ids)
+
+    # 1. last limb back to coefficients, strict
+    last = nttmod.intt(ctx, poly.data[..., -1:, :], (last_id,))
+    v = ma.reduce_strict(last, np.uint32(q_last))
+    if plain_modulus is not None:
+        inv_t = hm.modinv(plain_modulus % q_last, q_last)
+        v = ma.shoup_mul_lazy(
+            v, np.uint32(inv_t), np.uint32(hm.shoup(inv_t, q_last)), np.uint32(q_last)
+        )
+        v = ma.reduce_strict(v, np.uint32(q_last))
+
+    # 2. centered remainder under each remaining limb: [0, 2 q_j)
+    q = ctx.rows("q", rem_ids)
+    corr = np.asarray(
+        [(qj - q_last % qj) % qj for qj in rem_mods], dtype=np.uint32
+    )[:, None]
+    r = v - jnp.where(v >= q, q, U32(0))  # strict mod q_j (v < q_last < 2 q_j)
+    r = r + jnp.where(v >= U32(q_last // 2), corr, U32(0))
+
+    # 3. back to NTT under the remaining limbs
+    r_ntt = nttmod.ntt(ctx, r, rem_ids)
+    if plain_modulus is not None:
+        w, w_sh = hm.shoup_pair_arrays([plain_modulus] * len(rem_ids), rem_mods)
+        r_ntt = ma.shoup_mul_lazy(r_ntt, w[:, None], w_sh[:, None], q)
+
+    # 4. (x - r) * q_last^{-1} [* (q_last mod t)] per limb
+    x = poly.data[..., :-1, :]
+    diff = ma.sub_lazy(x, r_ntt, ctx.rows("two_q", rem_ids))
+    scal = [hm.modinv(q_last % qj, qj) for qj in rem_mods]
+    if plain_modulus is not None:
+        scal = [s * (q_last % plain_modulus) % qj for s, qj in zip(scal, rem_mods)]
+    w, w_sh = hm.shoup_pair_arrays(scal, rem_mods)
+    out = ma.shoup_mul_lazy(diff, w[:, None], w_sh[:, None], q)
+    return RnsPoly(out, NTT, rem_ids)
+
+
+# ---------------------------------------------------------------------------
+# Host-side exact compose/convert (the k->1 and oracle paths)
+# ---------------------------------------------------------------------------
+
+
+def compose_to_int(coeffs: np.ndarray, moduli) -> list:
+    """Host CRT compose of strict residues [L, n] -> centered Python ints."""
+    vals = hm.crt_compose([np.asarray(c) for c in coeffs], list(moduli))
+    Q = 1
+    for m in moduli:
+        Q *= int(m)
+    return [hm.to_signed(x, Q) for x in vals]
+
+
+def convert_to_single_host(coeffs: np.ndarray, moduli, new_modulus: int) -> np.ndarray:
+    """Host-exact k->1 base conversion with signed lift
+    (≙ rns_base_transform_to_single, rns_transform.cpp:39-105 — the CRT
+    fallback done exactly, at the host boundary where it belongs)."""
+    ints = compose_to_int(coeffs, moduli)
+    return np.asarray([x % new_modulus for x in ints], dtype=np.uint32)

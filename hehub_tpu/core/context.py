@@ -1,0 +1,268 @@
+"""Parameter objects and the immutable precomputed-table Context.
+
+The reference scatters precomputed state across lazily-filled mutable global
+caches (ntt_factors_cache ntt.cpp:107-143, mulmod LUTs mod_arith.cpp:64-92,
+fft_factors_cache ckks/basics.cpp:103). TPU-natively, all of that becomes one
+immutable `Context` of numpy tables computed eagerly at parameter-creation
+time; ops slice these tables at trace time so they are baked into the XLA
+program as constants (no runtime table plumbing, no thread-safety hazards).
+
+Layout convention: a context covers M = len(moduli) + 1 "limbs": the ciphertext
+modulus chain q_0..q_{L-1} followed by the key-switching special prime p at
+index L (≙ RlweParams + additional_mod, /root/reference/src/fhe/primitives/
+rlwe.h:16-25 and ckks.h:19-27). BGV additionally carries single-limb tables
+for the plaintext modulus t.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+from hehub_tpu.utils import hostmath as hm
+
+U32 = np.uint32
+U64 = np.uint64
+
+
+# ---------------------------------------------------------------------------
+# Parameters (static, hashable)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RlweParams:
+    """Static RLWE parameters (≙ RlweParams, rlwe.h:16-25)."""
+
+    dimension: int
+    moduli: Tuple[int, ...]
+    special_mod: Optional[int] = None
+
+    def __post_init__(self):
+        n = self.dimension
+        if n & (n - 1) or n < 8:
+            raise ValueError("dimension must be a power of two >= 8")
+        all_mods = self.moduli + ((self.special_mod,) if self.special_mod else ())
+        if len(set(all_mods)) != len(all_mods):
+            raise ValueError("moduli must be distinct")
+        for q in all_mods:
+            if not (1 << 29) <= q < (1 << 30):
+                raise ValueError(f"modulus {q} outside the 30-bit lane range")
+            if q % (2 * n) != 1 or not hm.is_prime(q):
+                raise ValueError(f"{q} is not an NTT prime for n={n}")
+
+    @property
+    def log_dimension(self) -> int:
+        return self.dimension.bit_length() - 1
+
+    @property
+    def level_count(self) -> int:
+        return len(self.moduli)
+
+
+@dataclasses.dataclass(frozen=True)
+class CkksParams(RlweParams):
+    """CKKS parameters (≙ CkksParams, ckks.h:19-27)."""
+
+    initial_scaling_factor: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class BgvParams(RlweParams):
+    """BGV parameters: plaintext modulus t, itself an NTT prime for SIMD
+    packing (≙ BgvCt.plain_modulus, bgv.h:24-33)."""
+
+    plain_modulus: int = 0
+
+    def __post_init__(self):
+        super().__post_init__()
+        t = self.plain_modulus
+        n = self.dimension
+        if t in self.moduli or t == self.special_mod:
+            raise ValueError("plain modulus must be coprime with ct moduli")
+        if t % (2 * n) != 1 or not hm.is_prime(t) or t >= (1 << 30):
+            raise ValueError(f"plain modulus {t} must be an NTT prime < 2^30 for n={n}")
+
+
+# Standard ~128-bit-security total log(Q·P) budgets per dimension
+# (≙ std_log_q_size, /root/reference/src/fhe/ckks/basics.cpp:41-43).
+STD_LOGQP_BUDGET = {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881}
+
+
+def create_ckks_params(
+    dimension: int,
+    scaling_bits: int = 28,
+    num_levels: Optional[int] = None,
+    use_security_budget: bool = True,
+) -> CkksParams:
+    """Automatic CKKS parameter selection with 30-bit limbs.
+
+    Mirrors ckks::create_params(dimension, initial_scaling_bits)
+    (/root/reference/src/fhe/ckks/basics.cpp:40-64) but with a fixed 30-bit
+    limb width: the level budget comes from the same standard log(QP) table,
+    divided into 30-bit primes; the scaling factor is 2^scaling_bits <= 2^29.
+    """
+    if scaling_bits > 29:
+        raise ValueError("32-bit lanes support scaling factors up to 2^29")
+    if num_levels is None:
+        budget = STD_LOGQP_BUDGET.get(dimension)
+        if budget is None:
+            raise ValueError(f"no standard budget for dimension {dimension}")
+        num_levels = max(budget // 30 - 1, 1)
+    elif use_security_budget:
+        budget = STD_LOGQP_BUDGET.get(dimension)
+        if budget is not None and 30 * (num_levels + 1) > budget:
+            raise ValueError(
+                f"{num_levels} levels exceed the 128-bit-security budget "
+                f"({budget} bits) for dimension {dimension}"
+            )
+    primes = hm.gen_ntt_primes(30, num_levels + 1, dimension)
+    return CkksParams(
+        dimension=dimension,
+        moduli=tuple(primes[1:]),
+        special_mod=primes[0],
+        initial_scaling_factor=float(2.0**scaling_bits),
+    )
+
+
+def create_bgv_params(
+    dimension: int,
+    plain_bits: int = 17,
+    num_levels: int = 3,
+) -> BgvParams:
+    """BGV parameter selection: 30-bit ciphertext primes + an NTT-prime t."""
+    primes = hm.gen_ntt_primes(30, num_levels + 1, dimension)
+    t = hm.gen_ntt_primes(plain_bits, 1, dimension)[0]
+    return BgvParams(
+        dimension=dimension,
+        moduli=tuple(primes[1:]),
+        special_mod=primes[0],
+        plain_modulus=t,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Precomputed tables
+# ---------------------------------------------------------------------------
+
+
+def _bitrev_indices(n: int) -> np.ndarray:
+    logn = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _psi_power_table(q: int, n: int, inverse: bool) -> np.ndarray:
+    """psis[j] = ψ^{±bitrev(j, log n)} mod q, uint32 [n]."""
+    psi = hm.negacyclic_psi(q, n)
+    if inverse:
+        psi = hm.modinv(psi, q)
+    powers = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for j in range(n):
+        powers[j] = acc
+        acc = acc * psi % q
+    rev = _bitrev_indices(n)
+    return powers[rev].astype(np.uint32)
+
+
+def _shoup_np(w: np.ndarray, q: int) -> np.ndarray:
+    return ((w.astype(U64) << U64(32)) // U64(q)).astype(U32)
+
+
+class ModulusTables:
+    """Per-modulus constants + twiddle tables for one prime q."""
+
+    def __init__(self, q: int, n: int):
+        self.q = U32(q)
+        self.two_q = U32(2 * q)
+        self.neg_qinv = U32((-hm.modinv(q, 1 << 32)) % (1 << 32))
+        r = (1 << 32) % q
+        self.r_mod_q = U32(r)
+        self.r_shoup = U32(hm.shoup(r, q))
+        self.r2_mod_q = U32(r * r % q)
+        # forward / inverse twiddles (bit-reversed-power layout)
+        self.tw_fwd = _psi_power_table(q, n, inverse=False)
+        self.tw_fwd_sh = _shoup_np(self.tw_fwd, q)
+        tw_inv = _psi_power_table(q, n, inverse=True).astype(np.uint64)
+        n_inv = hm.modinv(n, q)
+        # fold n^-1 into the single twiddle consumed by the last inverse stage
+        tw_inv_scaled = tw_inv.copy()
+        tw_inv_scaled[1] = tw_inv[1] * n_inv % q
+        self.tw_inv = tw_inv.astype(U32)
+        self.tw_inv_sh = _shoup_np(self.tw_inv, q)
+        self.tw_inv_last = tw_inv_scaled[1].astype(U32)
+        self.tw_inv_last_sh = U32(hm.shoup(int(tw_inv_scaled[1]), q))
+        self.n_inv = U32(n_inv)
+        self.n_inv_sh = U32(hm.shoup(n_inv, q))
+
+
+class Context:
+    """Immutable table bundle for a parameter set.
+
+    Arrays are host numpy; scheme ops slice them at trace time so they enter
+    XLA programs as constants. Identity-hashable so it can be a jit static arg.
+    """
+
+    def __init__(self, params: RlweParams):
+        self.params = params
+        n = params.dimension
+        mods = list(params.moduli) + (
+            [params.special_mod] if params.special_mod else []
+        )
+        self.mod_list: Tuple[int, ...] = tuple(mods)
+        self.special_index = len(params.moduli) if params.special_mod else None
+        tabs = [ModulusTables(q, n) for q in mods]
+
+        def col(attr):  # [M, 1] for broadcasting against [..., M, n]
+            return np.asarray([getattr(t, attr) for t in tabs], dtype=U32)[:, None]
+
+        self.q = col("q")
+        self.two_q = col("two_q")
+        self.neg_qinv = col("neg_qinv")
+        self.r_mod_q = col("r_mod_q")
+        self.r_shoup = col("r_shoup")
+        self.r2_mod_q = col("r2_mod_q")
+        self.n_inv = col("n_inv")
+        self.n_inv_sh = col("n_inv_sh")
+        self.tw_inv_last = col("tw_inv_last")
+        self.tw_inv_last_sh = col("tw_inv_last_sh")
+        self.tw_fwd = np.stack([t.tw_fwd for t in tabs])  # [M, n]
+        self.tw_fwd_sh = np.stack([t.tw_fwd_sh for t in tabs])
+        self.tw_inv = np.stack([t.tw_inv for t in tabs])
+        self.tw_inv_sh = np.stack([t.tw_inv_sh for t in tabs])
+        for a in vars(self).values():
+            if isinstance(a, np.ndarray):
+                a.setflags(write=False)
+
+        # BGV: single-limb tables for the plaintext modulus
+        self.plain_tables: Optional[ModulusTables] = None
+        if isinstance(params, BgvParams):
+            self.plain_tables = ModulusTables(params.plain_modulus, n)
+
+    # -- static limb gathers (host-side, trace-time) ------------------------
+
+    def rows(self, name: str, limb_ids: Tuple[int, ...]) -> np.ndarray:
+        arr = getattr(self, name)
+        return arr[np.asarray(limb_ids, dtype=np.int64)]
+
+    def moduli_of(self, limb_ids: Tuple[int, ...]) -> Tuple[int, ...]:
+        return tuple(self.mod_list[i] for i in limb_ids)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@functools.lru_cache(maxsize=None)
+def make_context(params: RlweParams) -> Context:
+    return Context(params)

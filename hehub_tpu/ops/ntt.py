@@ -1,0 +1,149 @@
+"""Negacyclic NTT/INTT over uint32 RNS tensors — the TPU-native replacement
+for the reference's scalar Harvey butterflies
+(/root/reference/src/fhe/common/ntt.cpp:145-222).
+
+Design (TPU-first):
+  * No bit-reversal passes anywhere: forward is Cooley-Tukey DIT taking
+    natural-order coefficients to bit-reversed-order values; inverse is
+    Gentleman-Sande DIF taking bit-reversed values back to natural
+    coefficients. Pointwise ops between them are order-agnostic, and the
+    Galois/encoding layers are defined directly in this value order.
+  * Stages are expressed as static reshapes + broadcasted Shoup multiplies on
+    the last axes, so one call transforms an arbitrary batch of limbs
+    [..., L, n] in a single fused XLA computation (the reference loops limb
+    by limb, ntt.h:41-51).
+  * Lazy arithmetic: inputs and outputs live in [0, 2q).
+
+The n^-1 factor of the inverse transform is folded into the final stage's
+twiddle/scalar (≙ the reference folding at ntt.cpp:210-222).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hehub_tpu.ops import modarith as ma
+
+
+def ntt_fwd(data, tw, tw_sh, q, two_q):
+    """Forward negacyclic NTT.
+
+    data: [..., L, n] uint32, coefficients (natural order), lazy [0, 2q).
+    tw/tw_sh: [L, n] twiddle tables (ψ^bitrev powers + Shoup companions).
+    q/two_q: [L, 1].
+    Returns values in bit-reversed order, lazy [0, 2q).
+    """
+    n = data.shape[-1]
+    logn = n.bit_length() - 1
+    lead = data.shape[:-1]  # includes L
+    q3 = q[..., None]
+    two_q3 = two_q[..., None]
+    x = data
+    for s in range(logn):
+        m = 1 << s
+        t = n >> (s + 1)
+        w = tw[:, m : 2 * m][:, :, None]  # [L, m, 1]
+        w_sh = tw_sh[:, m : 2 * m][:, :, None]
+        x = x.reshape(*lead, m, 2, t)
+        lo = x[..., 0, :]
+        hi = x[..., 1, :]
+        wh = ma.shoup_mul_lazy(hi, w, w_sh, q3)
+        new_lo = ma.add_lazy(lo, wh, two_q3)
+        new_hi = ma.sub_lazy(lo, wh, two_q3)
+        x = jnp.stack([new_lo, new_hi], axis=-2).reshape(*lead, n)
+    return x
+
+
+def ntt_inv(data, tw, tw_sh, q, two_q, tw_last, tw_last_sh, n_inv, n_inv_sh):
+    """Inverse negacyclic NTT (bit-reversed values -> natural coefficients).
+
+    tw_last/n_inv carry the folded n^-1 factor for the final stage.
+    Output lazy [0, 2q).
+    """
+    n = data.shape[-1]
+    logn = n.bit_length() - 1
+    lead = data.shape[:-1]
+    q3 = q[..., None]
+    two_q3 = two_q[..., None]
+    x = data
+    for s in range(logn):
+        h = n >> (s + 1)  # number of blocks
+        t = 1 << s  # gap
+        last = h == 1
+        x = x.reshape(*lead, h, 2, t)
+        lo = x[..., 0, :]
+        hi = x[..., 1, :]
+        s_sum = lo + two_q3 - hi  # in [0, 4q), fine as Shoup input
+        if last:
+            w = tw_last[..., None]
+            w_sh = tw_last_sh[..., None]
+            new_lo = ma.shoup_mul_lazy(lo + hi, n_inv[..., None], n_inv_sh[..., None], q3)
+        else:
+            w = tw[:, h : 2 * h][:, :, None]
+            w_sh = tw_sh[:, h : 2 * h][:, :, None]
+            new_lo = ma.add_lazy(lo, hi, two_q3)
+        new_hi = ma.shoup_mul_lazy(s_sum, w, w_sh, q3)
+        x = jnp.stack([new_lo, new_hi], axis=-2).reshape(*lead, n)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Context-level wrappers
+# ---------------------------------------------------------------------------
+
+
+def ntt(ctx, data, limb_ids: Tuple[int, ...]):
+    """Forward NTT of [..., L, n] under the context limbs `limb_ids`."""
+    return ntt_fwd(
+        data,
+        ctx.rows("tw_fwd", limb_ids),
+        ctx.rows("tw_fwd_sh", limb_ids),
+        ctx.rows("q", limb_ids),
+        ctx.rows("two_q", limb_ids),
+    )
+
+
+def intt(ctx, data, limb_ids: Tuple[int, ...]):
+    """Inverse NTT of [..., L, n] under the context limbs `limb_ids`."""
+    return ntt_inv(
+        data,
+        ctx.rows("tw_inv", limb_ids),
+        ctx.rows("tw_inv_sh", limb_ids),
+        ctx.rows("q", limb_ids),
+        ctx.rows("two_q", limb_ids),
+        ctx.rows("tw_inv_last", limb_ids),
+        ctx.rows("tw_inv_last_sh", limb_ids),
+        ctx.rows("n_inv", limb_ids),
+        ctx.rows("n_inv_sh", limb_ids),
+    )
+
+
+def ntt_single(tables, data):
+    """Forward NTT under one ModulusTables (e.g. the BGV plain modulus).
+    data: [..., n]."""
+    out = ntt_fwd(
+        data[..., None, :],
+        tables.tw_fwd[None],
+        tables.tw_fwd_sh[None],
+        np.asarray([[tables.q]], np.uint32),
+        np.asarray([[tables.two_q]], np.uint32),
+    )
+    return out[..., 0, :]
+
+
+def intt_single(tables, data):
+    out = ntt_inv(
+        data[..., None, :],
+        tables.tw_inv[None],
+        tables.tw_inv_sh[None],
+        np.asarray([[tables.q]], np.uint32),
+        np.asarray([[tables.two_q]], np.uint32),
+        np.asarray([[tables.tw_inv_last]], np.uint32),
+        np.asarray([[tables.tw_inv_last_sh]], np.uint32),
+        np.asarray([[tables.n_inv]], np.uint32),
+        np.asarray([[tables.n_inv_sh]], np.uint32),
+    )
+    return out[..., 0, :]

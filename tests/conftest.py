@@ -1,0 +1,12 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+
+Multi-device tests run on genuine multi-device XLA execution without real
+chips — the JAX equivalent of "multi-node without a cluster" (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

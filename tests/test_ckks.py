@@ -1,0 +1,168 @@
+"""CKKS end-to-end tests: approximate round trips with explicit noise
+budgets, exact CRT oracle for rescale, rotation/conjugation slot semantics
+(taxonomy of /root/reference/tests/ckks_t.cpp:19-451)."""
+
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from hehub_tpu.core import basecnv, rns
+from hehub_tpu.core.context import create_ckks_params, make_context
+from hehub_tpu.models import ckks
+from hehub_tpu.rlwe import keys as keys_mod
+from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+RNG = np.random.default_rng(23)
+N = 256  # small ring for CI speed; larger dims exercised in bench
+
+
+@functools.lru_cache(maxsize=None)
+def setup():
+    params = create_ckks_params(
+        N, scaling_bits=28, num_levels=3, use_security_budget=False
+    )
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0))
+    return params, ctx, sk
+
+
+def rand_data(count):
+    return RNG.uniform(-1, 1, count) + 1j * RNG.uniform(-1, 1, count)
+
+
+def test_encode_decode_roundtrip():
+    params, ctx, sk = setup()
+    data = rand_data(N // 2)
+    pt = ckks.encode(data, params)
+    out = ckks.decode(pt, params)
+    np.testing.assert_allclose(out, data, atol=1e-6)
+
+
+def test_encrypt_decrypt():
+    params, ctx, sk = setup()
+    data = rand_data(N // 2)
+    pt = ckks.encode(data, params)
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(1))
+    out = ckks.decode(ckks.decrypt(ctx, ct, sk), params)
+    # fresh noise ~ sigma*sqrt(n)/Delta
+    np.testing.assert_allclose(out, data, atol=2**-13)
+
+
+def test_add_sub_mult_plain():
+    params, ctx, sk = setup()
+    a, b = rand_data(N // 2), rand_data(N // 2)
+    pa = ckks.encode(a, params)
+    pb = ckks.encode(b, params)
+    ct = ckks.encrypt(ctx, pa, sk, jax.random.key(2))
+    got_add = ckks.decode(ckks.decrypt(ctx, ckks.add_plain(ctx, ct, pb), sk), params)
+    np.testing.assert_allclose(got_add, a + b, atol=2**-12)
+    got_sub = ckks.decode(ckks.decrypt(ctx, ckks.sub_plain(ctx, ct, pb), sk), params)
+    np.testing.assert_allclose(got_sub, a - b, atol=2**-12)
+    prod = ckks.mult_plain(ctx, ct, pb)
+    prod = ckks.rescale(ctx, prod)
+    got = ckks.decode(ckks.decrypt(ctx, prod, sk), params)
+    np.testing.assert_allclose(got, a * b, atol=2**-10)
+
+
+def test_ct_add():
+    params, ctx, sk = setup()
+    a, b = rand_data(N // 2), rand_data(N // 2)
+    ca = ckks.encrypt(ctx, ckks.encode(a, params), sk, jax.random.key(3))
+    cb = ckks.encrypt(ctx, ckks.encode(b, params), sk, jax.random.key(4))
+    got = ckks.decode(ckks.decrypt(ctx, ckks.add(ctx, ca, cb), sk), params)
+    np.testing.assert_allclose(got, a + b, atol=2**-12)
+
+
+def test_mult_relin_rescale():
+    params, ctx, sk = setup()
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(5))
+    a, b = rand_data(N // 2), rand_data(N // 2)
+    ca = ckks.encrypt(ctx, ckks.encode(a, params), sk, jax.random.key(6))
+    cb = ckks.encrypt(ctx, ckks.encode(b, params), sk, jax.random.key(7))
+    prod = ckks.mult(ctx, ca, cb, rlk)
+    assert prod.level == ca.level  # relin keeps level; rescale drops
+    prod = ckks.rescale(ctx, prod)
+    assert prod.level == ca.level - 1
+    got = ckks.decode(ckks.decrypt(ctx, prod, sk), params)
+    np.testing.assert_allclose(got, a * b, atol=2**-9)
+
+
+def test_deep_mult_chain():
+    """Squaring chain across all levels (Basel-style depth)."""
+    params, ctx, sk = setup()
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(8))
+    a = rand_data(N // 2) * 0.5
+    ct = ckks.encrypt(ctx, ckks.encode(a, params), sk, jax.random.key(9))
+    expect = a
+    for lvl in range(2):
+        ct = ckks.rescale(ctx, ckks.mult(ctx, ct, ct, rlk))
+        expect = expect * expect
+    got = ckks.decode(ckks.decrypt(ctx, ct, sk), params)
+    np.testing.assert_allclose(got, expect, atol=2**-7)
+
+
+def test_rescale_exact_crt_oracle():
+    """Rescale output == floor((x + q/2) / q) on CRT-composed integers —
+    the exactness proof of /root/reference/tests/ckks_t.cpp:136-175."""
+    params, ctx, sk = setup()
+    ids = (0, 1, 2)
+    mods = ctx.moduli_of(ids)
+    n = params.dimension
+    resid = np.stack(
+        [RNG.integers(0, q, n, dtype=np.uint64).astype(np.uint32) for q in mods]
+    )
+    poly = rns.to_ntt(ctx, rns.RnsPoly(resid, rns.COEFF, ids))
+    dropped = rns.reduce_strict(
+        ctx, rns.to_coeff(ctx, basecnv.div_last_rounded(ctx, poly))
+    )
+    got = np.asarray(dropped.data)
+
+    composed = basecnv.compose_to_int(resid, mods)
+    q_last = mods[-1]
+    for i in range(n):
+        v = composed[i]  # centered
+        expect = (v + q_last // 2) // q_last if v >= 0 else -((-v + q_last // 2 - 1) // q_last)
+        # reference convention: remainder in [-q/2, q/2) with v>=q/2 negative
+        r = v % q_last
+        if r >= (q_last + 1) // 2 or (r == q_last // 2):
+            r -= q_last
+        expect = (v - r) // q_last
+        for k, q in enumerate(mods[:-1]):
+            assert got[k, i] == expect % q, (i, k)
+
+
+def test_rotate_and_conjugate():
+    params, ctx, sk = setup()
+    data = rand_data(N // 2)
+    ct = ckks.encrypt(ctx, ckks.encode(data, params), sk, jax.random.key(10))
+    for step in (1, 3, N // 4):
+        rk = keys_mod.rot_key(ctx, sk, step, jax.random.key(100 + step))
+        got = ckks.decode(ckks.decrypt(ctx, ckks.rotate(ctx, ct, rk, step), sk), params)
+        np.testing.assert_allclose(got, np.roll(data, -step), atol=2**-9)
+    ck = keys_mod.conj_key(ctx, sk, jax.random.key(11))
+    got = ckks.decode(ckks.decrypt(ctx, ckks.conjugate(ctx, ct, ck), sk), params)
+    np.testing.assert_allclose(got, np.conj(data), atol=2**-9)
+
+
+def test_batched_ciphertexts():
+    """Leading batch dims: many ciphertexts in one tensor op (the FHE analog
+    of data parallelism, new in the TPU design)."""
+    params, ctx, sk = setup()
+    batch = 4
+    datas = [rand_data(N // 2) for _ in range(batch)]
+    pts = [ckks.encode(d, params) for d in datas]
+    stacked = rns.RnsPoly(
+        np.stack([np.asarray(p.poly.data) for p in pts]),
+        rns.COEFF,
+        pts[0].poly.limb_ids,
+    )
+    pt = ckks.CkksPt(stacked, pts[0].scaling_factor)
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(12))
+    dec = rlwe_mod.decrypt_core(ctx, rlwe_mod.RlweCt(ct.c0, ct.c1), sk)
+    for i, d in enumerate(datas):
+        one = ckks.CkksPt(
+            rns.RnsPoly(dec.data[i], rns.COEFF, dec.limb_ids), ct.scaling_factor
+        )
+        np.testing.assert_allclose(ckks.decode(one, params), d, atol=2**-12)
