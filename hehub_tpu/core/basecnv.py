@@ -48,6 +48,7 @@ def div_last_rounded(
     ctx: Context,
     poly: RnsPoly,
     plain_modulus: Optional[int] = None,
+    restore_plain_scale: bool = True,
 ) -> RnsPoly:
     """Exactly divide an NTT-form polynomial by its last RNS limb q_last with
     rounding, dropping that limb.
@@ -56,9 +57,16 @@ def div_last_rounded(
     (≙ rescale_by_one_prime_inplace, rescaling.cpp:14-78).
 
     plain_modulus=t: BGV flavor — divides by q_last while preserving the
-    value mod t via the t^{-1} mod q_last correction, then restores the
-    plaintext scale with (q_last mod t)
+    value mod t via the t^{-1} mod q_last correction, then (for a standalone
+    modulus switch) restores the plaintext scale with (q_last mod t)
     (≙ mod_drop_one_prime_inplace, mod_switch.cpp:13-78).
+
+    restore_plain_scale=False: for the special-prime drop inside BGV
+    relinearization the key-switched value is already q_last-scaled
+    (u ≡ p·d2·s² + t·E), so dividing by p alone yields d2·s² mod t exactly —
+    applying the reference's unconditional (q_last mod t) factor there breaks
+    the plaintext, which is consistent with the reference never activating
+    its ct-ct mult test (tests/bgv_t.cpp:193-226).
     """
     if poly.form != NTT:
         raise ValueError("div_last_rounded expects NTT form")
@@ -98,7 +106,7 @@ def div_last_rounded(
     x = poly.data[..., :-1, :]
     diff = ma.sub_lazy(x, r_ntt, ctx.rows("two_q", rem_ids))
     scal = [hm.modinv(q_last % qj, qj) for qj in rem_mods]
-    if plain_modulus is not None:
+    if plain_modulus is not None and restore_plain_scale:
         scal = [s * (q_last % plain_modulus) % qj for s, qj in zip(scal, rem_mods)]
     w, w_sh = hm.shoup_pair_arrays(scal, rem_mods)
     out = ma.shoup_mul_lazy(diff, w[:, None], w_sh[:, None], q)

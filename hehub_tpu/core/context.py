@@ -83,8 +83,9 @@ class BgvParams(RlweParams):
         n = self.dimension
         if t in self.moduli or t == self.special_mod:
             raise ValueError("plain modulus must be coprime with ct moduli")
-        if t % (2 * n) != 1 or not hm.is_prime(t) or t >= (1 << 30):
-            raise ValueError(f"plain modulus {t} must be an NTT prime < 2^30 for n={n}")
+        if t % (2 * n) != 1 or not hm.is_prime(t) or t >= (1 << 29):
+            # t < 2^29 <= q_j keeps the signed plaintext lift single-select
+            raise ValueError(f"plain modulus {t} must be an NTT prime < 2^29 for n={n}")
 
 
 # Standard ~128-bit-security total log(Q·P) budgets per dimension

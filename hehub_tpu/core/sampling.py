@@ -27,10 +27,11 @@ TRUNC = 6.0 * SIGMA
 
 
 def _lift_signed_small(ints, ctx, limb_ids):
-    """Map small signed integers [..., n] -> lazy residues [..., L, n]."""
+    """Map small signed integers [..., n] -> lazy residues [..., L, n].
+    |ints| + q < 2^31, so int32 arithmetic is exact."""
     q = ctx.rows("q", limb_ids)  # [L, 1]
-    x = ints[..., None, :].astype(jnp.int64)
-    return jnp.where(x < 0, x + q.astype(jnp.int64), x).astype(jnp.uint32)
+    x = ints[..., None, :].astype(jnp.int32)
+    return jnp.where(x < 0, x + q.astype(jnp.int32), x).astype(jnp.uint32)
 
 
 def ternary_poly(

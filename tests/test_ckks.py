@@ -140,7 +140,9 @@ def test_rotate_and_conjugate():
     for step in (1, 3, N // 4):
         rk = keys_mod.rot_key(ctx, sk, step, jax.random.key(100 + step))
         got = ckks.decode(ckks.decrypt(ctx, ckks.rotate(ctx, ct, rk, step), sk), params)
-        np.testing.assert_allclose(got, np.roll(data, -step), atol=2**-9)
+        # reference convention: slot i moves to slot i+step
+        # (/root/reference/tests/ckks_t.cpp:436)
+        np.testing.assert_allclose(got, np.roll(data, step), atol=2**-9)
     ck = keys_mod.conj_key(ctx, sk, jax.random.key(11))
     got = ckks.decode(ckks.decrypt(ctx, ckks.conjugate(ctx, ct, ck), sk), params)
     np.testing.assert_allclose(got, np.conj(data), atol=2**-9)
