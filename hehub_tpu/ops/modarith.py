@@ -105,6 +105,23 @@ def mul_mod_lazy(a, b, q, neg_qinv, r_mod_q, r_shoup):
     return mont_mul_lazy(a, b_mont, q, neg_qinv)
 
 
+def reduce_add_lazy(x, axis: int, two_q):
+    """Tree-sum along `axis` with lazy reduction after every pairwise add,
+    keeping all partials in [0, 2q). O(log k) fused select chains."""
+    import jax.numpy as jnp
+
+    x = jnp.moveaxis(x, axis, 0)
+    k = x.shape[0]
+    while k > 1:
+        half = k // 2
+        s = add_lazy(x[:half], x[half : 2 * half], two_q)
+        if k % 2:
+            s = jnp.concatenate([s, x[2 * half : 2 * half + 1]], axis=0)
+        x = s
+        k = x.shape[0]
+    return x[0]
+
+
 def to_mont(a, q, neg_qinv, r2_mod_q):
     """a -> a * 2^32 mod q (Montgomery domain), via montmul(a, R^2)."""
     return mont_mul_lazy(a, r2_mod_q, q, neg_qinv)
