@@ -28,6 +28,20 @@ import numpy as np
 from hehub_tpu.ops import modarith as ma
 
 
+def _tail_split(n: int) -> int:
+    """Block size B: butterflies with gap < B run in a transposed layout so
+    the vector (lane) axis never drops below 128 elements. One transpose in,
+    one out — instead of log2(B) sub-lane relayout stages."""
+    if n <= 256:
+        return 1  # no tail; plain layout
+    return 128
+
+
+def _fwd_butterfly(lo, hi, w, w_sh, q, two_q):
+    wh = ma.shoup_mul_lazy(hi, w, w_sh, q)
+    return ma.add_lazy(lo, wh, two_q), ma.sub_lazy(lo, wh, two_q)
+
+
 def ntt_fwd(data, tw, tw_sh, q, two_q):
     """Forward negacyclic NTT.
 
@@ -35,41 +49,95 @@ def ntt_fwd(data, tw, tw_sh, q, two_q):
     tw/tw_sh: [L, n] twiddle tables (ψ^bitrev powers + Shoup companions).
     q/two_q: [L, 1].
     Returns values in bit-reversed order, lazy [0, 2q).
+
+    Head stages (gap t >= B) run in natural layout [.., m, 2, t] (minor axis
+    t wide); tail stages run transposed as [.., B, G] so the minor axis is
+    G = n/B — one relayout instead of log2(B) sub-lane shuffles.
     """
     n = data.shape[-1]
     logn = n.bit_length() - 1
     lead = data.shape[:-1]  # includes L
-    q3 = q[..., None]
-    two_q3 = two_q[..., None]
+    L = data.shape[-2]
+    B = _tail_split(n)
+    G = n // B
+    q3, two_q3 = q[..., None], two_q[..., None]
     x = data
-    for s in range(logn):
+    s = 0
+    while (n >> (s + 1)) >= B:  # head: gap t >= B
         m = 1 << s
         t = n >> (s + 1)
-        w = tw[:, m : 2 * m][:, :, None]  # [L, m, 1]
+        w = tw[:, m : 2 * m][:, :, None]
         w_sh = tw_sh[:, m : 2 * m][:, :, None]
         x = x.reshape(*lead, m, 2, t)
-        lo = x[..., 0, :]
-        hi = x[..., 1, :]
-        wh = ma.shoup_mul_lazy(hi, w, w_sh, q3)
-        new_lo = ma.add_lazy(lo, wh, two_q3)
-        new_hi = ma.sub_lazy(lo, wh, two_q3)
+        new_lo, new_hi = _fwd_butterfly(
+            x[..., 0, :], x[..., 1, :], w, w_sh, q3, two_q3
+        )
         x = jnp.stack([new_lo, new_hi], axis=-2).reshape(*lead, n)
-    return x
+        s += 1
+    if s == logn:
+        return x
+    # tail: transpose to [.., B, G]; element [p, g] is original index g*B + p
+    x = jnp.swapaxes(x.reshape(*lead, G, B), -1, -2)
+    q4, two_q4 = q[..., None, None], two_q[..., None, None]
+    for s in range(s, logn):
+        t = n >> (s + 1)  # < B
+        U = B // (2 * t)
+        m_total = n // (2 * t)
+        # block index of element g*B + p is g*U + (p >> log2(2t))
+        w = np.asarray(tw[:, m_total : 2 * m_total]).reshape(L, G, U)
+        w = w.swapaxes(-1, -2)[:, :, None, :]  # [L, U, 1, G]
+        w_sh = np.asarray(tw_sh[:, m_total : 2 * m_total]).reshape(L, G, U)
+        w_sh = w_sh.swapaxes(-1, -2)[:, :, None, :]
+        x = x.reshape(*lead, U, 2, t, G)
+        new_lo, new_hi = _fwd_butterfly(
+            x[..., 0, :, :], x[..., 1, :, :], w, w_sh, q4, two_q4
+        )
+        x = jnp.stack([new_lo, new_hi], axis=-3).reshape(*lead, B, G)
+    return jnp.swapaxes(x, -1, -2).reshape(*lead, n)
 
 
 def ntt_inv(data, tw, tw_sh, q, two_q, tw_last, tw_last_sh, n_inv, n_inv_sh):
     """Inverse negacyclic NTT (bit-reversed values -> natural coefficients).
 
     tw_last/n_inv carry the folded n^-1 factor for the final stage.
-    Output lazy [0, 2q).
+    Output lazy [0, 2q). Mirror of ntt_fwd: small-gap stages first, in the
+    transposed layout; large-gap stages in natural layout.
     """
     n = data.shape[-1]
     logn = n.bit_length() - 1
     lead = data.shape[:-1]
-    q3 = q[..., None]
-    two_q3 = two_q[..., None]
+    L = data.shape[-2]
+    B = _tail_split(n)
+    G = n // B
+    q3, two_q3 = q[..., None], two_q[..., None]
     x = data
-    for s in range(logn):
+    s = 0
+    if B > 1:
+        # small-gap stages (2t <= B) transposed: [.., B, G]
+        x = jnp.swapaxes(x.reshape(*lead, G, B), -1, -2)
+        q4, two_q4 = q[..., None, None], two_q[..., None, None]
+        while 2 * (1 << s) <= B:
+            t = 1 << s
+            U = B // (2 * t)
+            h_total = n // (2 * t)
+            w = (
+                np.asarray(tw[:, h_total : 2 * h_total])
+                .reshape(L, G, U)
+                .swapaxes(-1, -2)[:, :, None, :]
+            )
+            w_sh = (
+                np.asarray(tw_sh[:, h_total : 2 * h_total])
+                .reshape(L, G, U)
+                .swapaxes(-1, -2)[:, :, None, :]
+            )
+            x = x.reshape(*lead, U, 2, t, G)
+            lo, hi = x[..., 0, :, :], x[..., 1, :, :]
+            new_lo = ma.add_lazy(lo, hi, two_q4)
+            new_hi = ma.shoup_mul_lazy(lo + two_q4 - hi, w, w_sh, q4)
+            x = jnp.stack([new_lo, new_hi], axis=-3).reshape(*lead, B, G)
+            s += 1
+        x = jnp.swapaxes(x, -1, -2).reshape(*lead, n)
+    for s in range(s, logn):
         h = n >> (s + 1)  # number of blocks
         t = 1 << s  # gap
         last = h == 1
