@@ -130,6 +130,11 @@ def compose_to_int(coeffs: np.ndarray, moduli) -> list:
 def convert_to_single_host(coeffs: np.ndarray, moduli, new_modulus: int) -> np.ndarray:
     """Host-exact k->1 base conversion with signed lift
     (≙ rns_base_transform_to_single, rns_transform.cpp:39-105 — the CRT
-    fallback done exactly, at the host boundary where it belongs)."""
+    fallback done exactly, at the host boundary where it belongs).
+    Uses the C++ runtime when available; Python bigints otherwise."""
+    from hehub_tpu.native import loader
+
+    if loader.available():
+        return loader.compose_mod(np.asarray(coeffs), list(moduli), new_modulus)
     ints = compose_to_int(coeffs, moduli)
     return np.asarray([x % new_modulus for x in ints], dtype=np.uint32)

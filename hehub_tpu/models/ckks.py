@@ -158,8 +158,13 @@ def decode(pt: CkksPt, params: CkksParams, count: Optional[int] = None) -> np.nd
     if agree:
         coeffs = signed0.astype(np.float64)
     else:
-        ints = basecnv.compose_to_int(resid, mods)
-        coeffs = np.asarray([float(x) for x in ints])
+        from hehub_tpu.native import loader
+
+        if loader.available():
+            coeffs = loader.compose_double(resid, list(mods))
+        else:
+            ints = basecnv.compose_to_int(resid, mods)
+            coeffs = np.asarray([float(x) for x in ints])
     coeffs /= pt.scaling_factor
     return _slots_to_read(coeffs, n, count)
 

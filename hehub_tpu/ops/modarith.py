@@ -21,9 +21,11 @@ Shapes: all functions broadcast; per-limb constants are passed with shape
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+U32 = jnp.uint32  # dtype
+_MASK16 = np.uint32(0xFFFF)  # numpy scalar: safe inside Pallas kernels
+_ZERO = np.uint32(0)
 
 
 def mul_hi(a, b):
@@ -47,24 +49,24 @@ def mul_wide(a, b):
 def add_lazy(a, b, two_q):
     """(a + b) keeping the lazy range: inputs [0, 2q) -> output [0, 2q)."""
     t = a + b
-    return t - jnp.where(t >= two_q, two_q, U32(0))
+    return t - jnp.where(t >= two_q, two_q, _ZERO)
 
 
 def sub_lazy(a, b, two_q):
     """(a - b) mod 2q-lazily: inputs [0, 2q) -> output [0, 2q)."""
     t = a + two_q - b
-    return t - jnp.where(t >= two_q, two_q, U32(0))
+    return t - jnp.where(t >= two_q, two_q, _ZERO)
 
 
 def neg_lazy(a, two_q):
     """(-a): input [0, 2q) -> output [0, 2q)."""
     t = two_q - a
-    return t - jnp.where(t >= two_q, two_q, U32(0))
+    return t - jnp.where(t >= two_q, two_q, _ZERO)
 
 
 def reduce_strict(a, q):
     """[0, 2q) -> [0, q). (≙ batched_reduce_strict, mod_arith.h:58-72)"""
-    return a - jnp.where(a >= q, q, U32(0))
+    return a - jnp.where(a >= q, q, _ZERO)
 
 
 def shoup_mul_lazy(x, w, w_shoup, q):

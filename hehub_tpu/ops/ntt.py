@@ -163,8 +163,18 @@ def ntt_inv(data, tw, tw_sh, q, two_q, tw_last, tw_last_sh, n_inv, n_inv_sh):
 # ---------------------------------------------------------------------------
 
 
+def _pallas_ok(ctx, data) -> bool:
+    from hehub_tpu import config
+
+    return config.pallas_enabled() and data.shape[-1] >= 256
+
+
 def ntt(ctx, data, limb_ids: Tuple[int, ...]):
     """Forward NTT of [..., L, n] under the context limbs `limb_ids`."""
+    if _pallas_ok(ctx, data):
+        from hehub_tpu.ops.pallas import ntt_pallas
+
+        return ntt_pallas.get_ntt(ctx, limb_ids, inverse=False)(data)
     return ntt_fwd(
         data,
         ctx.rows("tw_fwd", limb_ids),
@@ -176,6 +186,10 @@ def ntt(ctx, data, limb_ids: Tuple[int, ...]):
 
 def intt(ctx, data, limb_ids: Tuple[int, ...]):
     """Inverse NTT of [..., L, n] under the context limbs `limb_ids`."""
+    if _pallas_ok(ctx, data):
+        from hehub_tpu.ops.pallas import ntt_pallas
+
+        return ntt_pallas.get_ntt(ctx, limb_ids, inverse=True)(data)
     return ntt_inv(
         data,
         ctx.rows("tw_inv", limb_ids),

@@ -1,0 +1,210 @@
+"""Fused negacyclic NTT/INTT as a single Pallas TPU kernel.
+
+The XLA stage-chain implementation (ops/ntt.py) makes one HBM round trip per
+butterfly stage (log2 n passes). This kernel keeps a block of polynomial rows
+resident in VMEM for the whole transform — one HBM read, one write, the
+memory-bound speed-of-light — with all butterflies on the VPU.
+
+Layout: a row of length n is processed as [G, B] with B = 128 lanes. Stages
+with gap >= B pair sublane rows; stages with gap < B run after one in-VMEM
+transpose to [B, G], so every reshape Mosaic sees keeps the minor (lane) axis
+at n/B = G >= 128 or a multiple of B — no sub-lane shape casts.
+
+Twiddles are host-expanded to one [log2 n, n/2] per-element table per limb,
+already laid out per stage (natural for head stages, transposed for tail), so
+every stage is a pure aligned elementwise multiply. Their grid block index
+depends only on the limb axis, so Pallas DMAs them once per limb and reuses
+them across all row blocks.
+
+Same math and same value ordering as ops/ntt.py; outputs are bitwise equal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hehub_tpu.ops import modarith as ma
+
+B = 128  # lane width = tail split
+
+
+def _tail_layout(w_slice: np.ndarray, G: int, U: int, t: int) -> np.ndarray:
+    """[m_total] stage twiddles -> per-element [U, t, G] transposed layout."""
+    wT = w_slice.reshape(G, U).T  # [U, G]
+    return np.broadcast_to(wT[:, None, :], (U, t, G)).reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _expanded_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
+    """[L, log n, n/2] per-element hi-side twiddles (+ Shoup), host numpy."""
+    n = ctx.params.dimension
+    logn = n.bit_length() - 1
+    G = n // B
+    name = "tw_inv" if inverse else "tw_fwd"
+    tw = np.asarray(ctx.rows(name, limb_ids), np.uint32).copy()
+    tw_sh = np.asarray(ctx.rows(name + "_sh", limb_ids), np.uint32).copy()
+    if inverse:
+        # fold n^-1 into the last stage's single twiddle (index 1)
+        tw[:, 1] = ctx.rows("tw_inv_last", limb_ids)[:, 0]
+        tw_sh[:, 1] = ctx.rows("tw_inv_last_sh", limb_ids)[:, 0]
+    L = len(limb_ids)
+    out = np.empty((L, logn, n // 2), np.uint32)
+    out_sh = np.empty((L, logn, n // 2), np.uint32)
+    for s in range(logn):
+        t = (1 << s) if inverse else (n >> (s + 1))
+        blocks = n // (2 * t)
+        sl = slice(blocks, 2 * blocks)
+        if t >= B:  # head stage: natural [blocks, t] layout
+            out[:, s] = np.repeat(tw[:, sl], t, axis=1)
+            out_sh[:, s] = np.repeat(tw_sh[:, sl], t, axis=1)
+        else:  # tail stage: transposed [U, t, G] layout
+            U = B // (2 * t)
+            for k in range(L):
+                out[k, s] = _tail_layout(tw[k, sl], G, U, t)
+                out_sh[k, s] = _tail_layout(tw_sh[k, sl], G, U, t)
+    out.setflags(write=False)
+    out_sh.setflags(write=False)
+    return out, out_sh
+
+
+def _butterfly_fwd(lo, hi, w, w_sh, q, two_q):
+    wh = ma.shoup_mul_lazy(hi, w, w_sh, q)
+    return ma.add_lazy(lo, wh, two_q), ma.sub_lazy(lo, wh, two_q)
+
+
+def _fwd_kernel(n, bb, twe_ref, twe_sh_ref, scal_ref, x_ref, o_ref):
+    logn = n.bit_length() - 1
+    G = n // B
+    q = scal_ref[0, 0, 0]
+    two_q = scal_ref[0, 0, 1]
+    x = x_ref[0]  # [bb, n]
+    s = 0
+    while (n >> (s + 1)) >= B:  # head
+        m = 1 << s
+        t = n >> (s + 1)
+        w = twe_ref[0, s].reshape(m, 1, t)
+        w_sh = twe_sh_ref[0, s].reshape(m, 1, t)
+        xm = x.reshape(bb, m, 2, t)
+        t_lo, t_hi = _butterfly_fwd(
+            xm[:, :, 0:1, :], xm[:, :, 1:2, :], w, w_sh, q, two_q
+        )
+        x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, n)
+        s += 1
+    x = jnp.swapaxes(x.reshape(bb, G, B), -1, -2)  # [bb, B, G]
+    for s in range(s, logn):  # tail
+        t = n >> (s + 1)
+        U = B // (2 * t)
+        w = twe_ref[0, s].reshape(U, 1, t, G)
+        w_sh = twe_sh_ref[0, s].reshape(U, 1, t, G)
+        xm = x.reshape(bb, U, 2, t, G)
+        t_lo, t_hi = _butterfly_fwd(
+            xm[:, :, 0:1, :, :], xm[:, :, 1:2, :, :], w, w_sh, q, two_q
+        )
+        x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, B, G)
+    x = jnp.swapaxes(x, -1, -2)
+    o_ref[0] = x.reshape(bb, n)
+
+
+def _inv_kernel(n, bb, twe_ref, twe_sh_ref, scal_ref, x_ref, o_ref):
+    logn = n.bit_length() - 1
+    G = n // B
+    q = scal_ref[0, 0, 0]
+    two_q = scal_ref[0, 0, 1]
+    n_inv = scal_ref[0, 0, 2]
+    n_inv_sh = scal_ref[0, 0, 3]
+    x = x_ref[0].reshape(bb, G, B)
+    x = jnp.swapaxes(x, -1, -2)  # [bb, B, G]: tail (small gaps) first
+    s = 0
+    while 2 * (1 << s) <= B:
+        t = 1 << s
+        U = B // (2 * t)
+        w = twe_ref[0, s].reshape(U, 1, t, G)
+        w_sh = twe_sh_ref[0, s].reshape(U, 1, t, G)
+        xm = x.reshape(bb, U, 2, t, G)
+        lo, hi = xm[:, :, 0:1, :, :], xm[:, :, 1:2, :, :]
+        t_lo = ma.add_lazy(lo, hi, two_q)
+        t_hi = ma.shoup_mul_lazy(lo + two_q - hi, w, w_sh, q)
+        x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, B, G)
+        s += 1
+    x = jnp.swapaxes(x, -1, -2).reshape(bb, n)
+    for s in range(s, logn):  # head
+        t = 1 << s
+        h = n >> (s + 1)
+        w = twe_ref[0, s].reshape(h, 1, t)
+        w_sh = twe_sh_ref[0, s].reshape(h, 1, t)
+        xm = x.reshape(bb, h, 2, t)
+        lo, hi = xm[:, :, 0:1, :], xm[:, :, 1:2, :]
+        diff = lo + two_q - hi
+        if s == logn - 1:
+            t_lo = ma.shoup_mul_lazy(lo + hi, n_inv, n_inv_sh, q)
+        else:
+            t_lo = ma.add_lazy(lo, hi, two_q)
+        t_hi = ma.shoup_mul_lazy(diff, w, w_sh, q)
+        x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, n)
+    o_ref[0] = x
+
+
+def make_ntt(ctx, limb_ids: Tuple[int, ...], inverse: bool, interpret: bool = False):
+    """Returns fn(data [..., L, n]) -> same shape, running the fused kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = ctx.params.dimension
+    logn = n.bit_length() - 1
+    L = len(limb_ids)
+    assert n >= 2 * B, "pallas NTT requires n >= 256"
+    twe, twe_sh = _expanded_tables(ctx, limb_ids, inverse)
+    scal = np.zeros((L, 1, 8), np.uint32)
+    scal[:, 0, 0] = ctx.rows("q", limb_ids)[:, 0]
+    scal[:, 0, 1] = ctx.rows("two_q", limb_ids)[:, 0]
+    scal[:, 0, 2] = ctx.rows("n_inv", limb_ids)[:, 0]
+    scal[:, 0, 3] = ctx.rows("n_inv_sh", limb_ids)[:, 0]
+    kern = _inv_kernel if inverse else _fwd_kernel
+
+    def run(data):
+        lead = data.shape[:-2]
+        R = max(int(np.prod(lead)), 1)
+        x = data.reshape(-1, L, n)
+        x = jnp.swapaxes(x, 0, 1)  # [L, R, n]
+        # block second-minor dim must be a multiple of 8 or equal to R:
+        # pad the row axis up to a multiple of 8 when needed
+        pad = (-R) % 8 if R > 8 else 0
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((L, pad, n), jnp.uint32)], axis=1
+            )
+        Rp = R + pad
+        bb = min(8, Rp)
+        body = functools.partial(kern, n, bb)
+        out = pl.pallas_call(
+            body,
+            grid=(L, Rp // bb),
+            in_specs=[
+                pl.BlockSpec((1, logn, n // 2), lambda l, r: (l, 0, 0)),
+                pl.BlockSpec((1, logn, n // 2), lambda l, r: (l, 0, 0)),
+                pl.BlockSpec((1, 1, 8), lambda l, r: (l, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, bb, n), lambda l, r: (l, r, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bb, n), lambda l, r: (l, r, 0)),
+            out_shape=jax.ShapeDtypeStruct((L, Rp, n), jnp.uint32),
+            input_output_aliases={3: 0},
+            compiler_params=None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(twe, twe_sh, scal, x)
+        out = out[:, :R] if pad else out
+        return jnp.swapaxes(out, 0, 1).reshape(*lead, L, n)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def get_ntt(ctx, limb_ids: Tuple[int, ...], inverse: bool):
+    """Cached kernel factory (one compiled family per context/limb set)."""
+    return make_ntt(ctx, limb_ids, inverse)
