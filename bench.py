@@ -5,7 +5,13 @@ vs the reference's 142 us single-core time (/root/reference/README.md:76,
 BASELINE.md -> 7042 transforms/s).
 
 Secondary metrics (stderr): INTT throughput, CKKS ct-ct mult+relin+rescale
-ops/s at N=16384 — the north-star op (BASELINE.json), CKKS encode+encrypt.
+ops/s at N=16384 — the north-star op (BASELINE.json), CKKS encode+encrypt,
+and rooflines for the NTT and modmul kernels.
+
+Env:
+  BENCH_SMALL=1  tiny shapes (quick smoke run)
+  BENCH_TABLE=1  additionally print the full README-parity table
+                 (N=1024..32768 NTT/INTT/encode+encrypt/decrypt+decode)
 """
 
 import json
@@ -19,6 +25,7 @@ import numpy as np
 def _timeit(fn, args, warmup=2, iters=8):
     import jax
 
+    out = None
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -27,6 +34,101 @@ def _timeit(fn, args, warmup=2, iters=8):
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def _err(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_ntt(ctx, params, batch, ids):
+    import jax
+
+    from hehub_tpu.ops import ntt as nttmod
+    from hehub_tpu.utils import profiling
+
+    n = params.dimension
+    L = len(ids)
+    qs = np.asarray(ctx.moduli_of(ids), np.uint32)[:, None]
+    rng = np.random.default_rng(3)
+    data = jax.device_put(
+        rng.integers(0, 1 << 31, (batch, L, n)).astype(np.uint32) % (2 * qs)
+    )
+    fwd = jax.jit(lambda x: nttmod.ntt(ctx, x, ids))
+    inv = jax.jit(lambda x: nttmod.intt(ctx, x, ids))
+    t_fwd = _timeit(fwd, (data,))
+    t_inv = _timeit(inv, (data,))
+    rl = profiling.ntt_roofline(t_fwd, n, batch * L)
+    _err(f"[bench] {rl.report(f'NTT n={n} x{batch*L}')}")
+    return t_fwd, t_inv, data
+
+
+def full_table():
+    """README-parity dimensions (/root/reference/README.md:67-77)."""
+    import jax
+
+    from hehub_tpu.core.context import create_ckks_params, make_context
+    from hehub_tpu.models import ckks
+    from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+    _err("[table] N | NTT us | INTT us | enc+encrypt ms | decrypt+decode ms")
+    for n in (1024, 2048, 4096, 8192, 16384, 32768):
+        params = create_ckks_params(n, scaling_bits=28)
+        ctx = make_context(params)
+        ids = tuple(range(len(params.moduli)))
+        batch = max(2048 // n * 8, 8)
+        t_fwd, t_inv, _ = bench_ntt(ctx, params, batch, ids)
+        from hehub_tpu.core import rns
+
+        k = batch * len(ids)
+        sk = rlwe_mod.keygen(ctx, jax.random.key(0))
+        vec = np.random.default_rng(1).uniform(-1, 1, n // 2)
+        enc_key = jax.random.key(2)
+        scale0 = params.initial_scaling_factor
+
+        @jax.jit
+        def encrypt_dev(pt_data, key):
+            pt = ckks.CkksPt(rns.RnsPoly(pt_data, rns.COEFF, ids), scale0)
+            ct = ckks.encrypt(ctx, pt, sk, key)
+            return ct.c0.data, ct.c1.data
+
+        def encode_encrypt():
+            return encrypt_dev(ckks.encode(vec, params).poly.data, enc_key)
+
+        c0, c1 = encode_encrypt()
+        jax.block_until_ready(c0)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = encode_encrypt()
+        jax.block_until_ready(out)
+        t_ee = (time.perf_counter() - t0) / 4
+
+        ct = ckks.CkksCt(
+            rns.RnsPoly(c0, rns.NTT, ids), rns.RnsPoly(c1, rns.NTT, ids), scale0
+        )
+
+        @jax.jit
+        def decrypt_dev(c0d, c1d):
+            c = ckks.CkksCt(
+                rns.RnsPoly(c0d, rns.NTT, ids), rns.RnsPoly(c1d, rns.NTT, ids),
+                scale0,
+            )
+            return ckks.decrypt(ctx, c, sk).poly.data
+
+        def decrypt_decode():
+            pt_data = np.asarray(decrypt_dev(ct.c0.data, ct.c1.data))
+            return ckks.decode(
+                ckks.CkksPt(rns.RnsPoly(pt_data, rns.COEFF, ids), scale0), params
+            )
+
+        decrypt_decode()
+        t0 = time.perf_counter()
+        for _ in range(4):
+            decrypt_decode()
+        t_dd = (time.perf_counter() - t0) / 4
+        _err(
+            f"[table] {n:6d} | {t_fwd*1e6/k:7.1f} | {t_inv*1e6/k:7.1f} | "
+            f"{t_ee*1e3:8.2f} | {t_dd*1e3:8.2f}"
+        )
 
 
 def main():
@@ -40,12 +142,13 @@ def main():
     from hehub_tpu.core import rns
     from hehub_tpu.core.context import create_ckks_params, make_context
     from hehub_tpu.models import ckks
-    from hehub_tpu.ops import ntt as nttmod
+    from hehub_tpu.ops import modarith as ma
     from hehub_tpu.rlwe import keys as keys_mod
     from hehub_tpu.rlwe import rlwe as rlwe_mod
+    from hehub_tpu.utils import profiling
 
     dev = jax.devices()[0]
-    print(f"[bench] device: {dev} platform={dev.platform}", file=sys.stderr)
+    _err(f"[bench] device: {dev} platform={dev.platform}")
 
     params = create_ckks_params(
         n, scaling_bits=28, num_levels=levels, use_security_budget=False
@@ -56,23 +159,29 @@ def main():
     qs = np.asarray(ctx.moduli_of(ids), np.uint32)[:, None]
     rng = np.random.default_rng(3)
 
-    data = jax.device_put(
-        rng.integers(0, 1 << 31, (batch, L, n)).astype(np.uint32) % (2 * qs)
-    )
-
-    # ---- NTT forward/inverse ------------------------------------------------
-    fwd = jax.jit(lambda x: nttmod.ntt(ctx, x, ids))
-    inv = jax.jit(lambda x: nttmod.intt(ctx, x, ids))
-    t_fwd = _timeit(fwd, (data,))
-    t_inv = _timeit(inv, (data,))
+    # ---- NTT forward/inverse (+ roofline) -----------------------------------
+    t_fwd, t_inv, data = bench_ntt(ctx, params, batch, ids)
     ntt_per_sec = batch * L / t_fwd
     intt_per_sec = batch * L / t_inv
-    print(
+    _err(
         f"[bench] NTT n={n}: {t_fwd*1e6/(batch*L):.1f} us/transform "
         f"({ntt_per_sec:.0f}/s); INTT {t_inv*1e6/(batch*L):.1f} us "
-        f"({intt_per_sec:.0f}/s)",
-        file=sys.stderr,
+        f"({intt_per_sec:.0f}/s)"
     )
+
+    # ---- raw modmul roofline ------------------------------------------------
+    mm = jax.jit(
+        lambda a, b: ma.mul_mod_lazy(
+            a, b, ctx.rows("q", ids), ctx.rows("neg_qinv", ids),
+            ctx.rows("r_mod_q", ids), ctx.rows("r_shoup", ids),
+        )
+    )
+    data2 = jax.device_put(
+        rng.integers(0, 1 << 31, (batch, L, n)).astype(np.uint32) % (2 * qs)
+    )
+    t_mm = _timeit(mm, (data, data2))
+    rl_mm = profiling.modmul_roofline(t_mm, batch * L * n)
+    _err(f"[bench] {rl_mm.report(f'modmul {batch*L*n} elems')}")
 
     # ---- CKKS ct-ct mult + relin + rescale (north-star op) ------------------
     sk = rlwe_mod.keygen(ctx, jax.random.key(0))
@@ -102,28 +211,34 @@ def main():
     mult_jit = jax.jit(mult_step)
     t_mult = _timeit(mult_jit, cts, warmup=1, iters=4)
     mult_per_sec = batch / t_mult
-    print(
+    _err(
         f"[bench] CKKS mult+relin+rescale n={n} L={L}: "
-        f"{t_mult*1e3/batch:.2f} ms/op ({mult_per_sec:.1f}/s)",
-        file=sys.stderr,
+        f"{t_mult*1e3/batch:.2f} ms/op ({mult_per_sec:.1f}/s)"
     )
 
-    # ---- CKKS encode+encrypt (host encode + device encrypt) -----------------
+    # ---- CKKS encode+encrypt (host encode + jitted device encrypt) ----------
     vec = rng.uniform(-1, 1, n // 2)
     enc_key = jax.random.key(2)
+    scale0 = params.initial_scaling_factor
+
+    @jax.jit
+    def encrypt_dev(pt_data, key):
+        pt = ckks.CkksPt(rns.RnsPoly(pt_data, rns.COEFF, ids), scale0)
+        ct = ckks.encrypt(ctx, pt, sk, key)
+        return ct.c0.data, ct.c1.data
 
     def encode_encrypt():
         pt = ckks.encode(vec, params)
-        return ckks.encrypt(ctx, pt, sk, enc_key)
+        return encrypt_dev(pt.poly.data, enc_key)
 
     out = encode_encrypt()
-    jax.block_until_ready(out.c0.data)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(4):
         out = encode_encrypt()
-    jax.block_until_ready(out.c0.data)
+    jax.block_until_ready(out)
     t_ee = (time.perf_counter() - t0) / 4
-    print(f"[bench] CKKS encode+encrypt n={n}: {t_ee*1e3:.2f} ms", file=sys.stderr)
+    _err(f"[bench] CKKS encode+encrypt n={n}: {t_ee*1e3:.2f} ms")
 
     extra = {
         "ntt_fwd_us_per_transform": t_fwd * 1e6 / (batch * L),
@@ -132,12 +247,16 @@ def main():
         "ckks_mult_relin_rescale_per_sec": mult_per_sec,
         "ckks_mult_ms_per_op": t_mult * 1e3 / batch,
         "ckks_encode_encrypt_ms": t_ee * 1e3,
+        "modmul_gops": rl_mm.gops_per_s,
         "n": n,
         "limbs": L,
         "batch": batch,
         "device": str(dev),
     }
-    print(f"[bench] extra: {json.dumps(extra)}", file=sys.stderr)
+    _err(f"[bench] extra: {json.dumps(extra)}")
+
+    if os.environ.get("BENCH_TABLE") == "1":
+        full_table()
 
     baseline_ntt_per_sec = 1e6 / 142.0  # README.md:76, N=16384 forward
     print(

@@ -114,6 +114,89 @@ def div_last_rounded(
 
 
 # ---------------------------------------------------------------------------
+# General k -> m base conversion (device-side)
+# ---------------------------------------------------------------------------
+
+
+def base_convert(
+    ctx: Context,
+    poly: RnsPoly,
+    dst_ids: Tuple[int, ...],
+    signed: bool = True,
+) -> RnsPoly:
+    """General k->m RNS base conversion — the case the reference left
+    "under development" (≙ rns_base_transform, rns_transform.cpp:107-125),
+    implemented for real as a device-side fast base conversion.
+
+    Input: coeff-form poly over src limbs; output: coeff-form lazy residues
+    over `dst_ids` of the same integer x = CRT(residues) ∈ [0, Q), taken
+    signed (centered lift, matching the reference's to-single semantics,
+    rns_transform.cpp:47-84) or unsigned.
+
+    Math: with y_i = x_i · (Q/q_i)^{-1} mod q_i (strict),
+        x = Σ_i y_i · Q/q_i − v·Q,   v = floor(Σ_i y_i / q_i) < k,
+    and the signed lift subtracts one further Q when frac(Σ y_i/q_i) =
+    x/Q ≥ 1/2. So mod p_j:
+        out_j = Σ_i y_i · (Q/q_i mod p_j) − round_or_floor(Σ y_i/q_i) · (Q mod p_j).
+
+    v is computed EXACTLY enough in 0.32 fixed point with uint32 adds and a
+    carry chain (per-term error ≤ 2·2⁻³², total ≤ 2k·2⁻³²) — no float64, no
+    data-dependent host work, everything fuses under jit. Coefficients whose
+    distance from a multiple of Q/2 is below k·2⁻³¹·Q could round the wrong
+    way; FHE coefficients are noise-laden so this never occurs in practice
+    (the same regime as BEHZ/HPS approximate conversion).
+    """
+    if poly.form != COEFF:
+        raise ValueError("base_convert expects coeff form")
+    if not dst_ids:
+        raise ValueError("base_convert needs at least one destination limb")
+    src_ids = poly.limb_ids
+    src_mods = ctx.moduli_of(src_ids)
+    dst_mods = ctx.moduli_of(dst_ids)
+    k = len(src_mods)
+    Q = 1
+    for q in src_mods:
+        Q *= int(q)
+
+    # 1. y_i = x_i * qhat_inv_i mod q_i, strict
+    qhat_inv = [hm.modinv((Q // q) % q, q) for q in src_mods]
+    w, w_sh = hm.shoup_pair_arrays(qhat_inv, src_mods)
+    q_src = ctx.rows("q", src_ids)
+    y = ma.shoup_mul_lazy(poly.data, w[:, None], w_sh[:, None], q_src)
+    y = ma.reduce_strict(y, q_src)  # [..., k, n], strict
+
+    # 2. v = floor/round(Σ y_i/q_i) via 0.32 fixed point: z_i ≈ y_i·2^32/q_i
+    c = [(1 << 64) // q for q in src_mods]
+    c_hi = np.asarray([ci >> 32 for ci in c], np.uint32)[:, None]  # = floor(2^32/q)
+    c_lo = np.asarray([ci & 0xFFFFFFFF for ci in c], np.uint32)[:, None]
+    z = y * c_hi + ma.mul_hi(y, jnp.broadcast_to(c_lo, y.shape))  # [..., k, n]
+    lo = jnp.zeros(z.shape[:-2] + z.shape[-1:], U32)
+    carries = jnp.zeros_like(lo)
+    for i in range(k):
+        lo_new = lo + z[..., i, :]
+        carries = carries + (lo_new < z[..., i, :]).astype(U32)
+        lo = lo_new
+    v = carries + (lo >= U32(1 << 31)).astype(U32) if signed else carries
+
+    # 3. out_j = Σ_i y_i·(Q/q_i mod p_j) − v·(Q mod p_j), all lazy in [0, 2p_j)
+    outs = []
+    for j, p in zip(dst_ids, dst_mods):
+        p = int(p)
+        q_j = ctx.rows("q", (j,))
+        two_p = ctx.rows("two_q", (j,))
+        qhat_mod = [(Q // q) % p for q in src_mods]
+        wj, wj_sh = hm.shoup_pair_arrays(qhat_mod, [p] * k)
+        terms = ma.shoup_mul_lazy(y, wj[:, None], wj_sh[:, None], q_j)
+        acc = ma.reduce_add_lazy(terms, -2, two_p[0])
+        corr = ma.shoup_mul_lazy(
+            v, np.uint32(Q % p), np.uint32(hm.shoup(Q % p, p)), q_j[0]
+        )
+        outs.append(ma.sub_lazy(acc, corr, two_p[0]))
+    data = jnp.stack(outs, axis=-2)
+    return RnsPoly(data, COEFF, tuple(dst_ids))
+
+
+# ---------------------------------------------------------------------------
 # Host-side exact compose/convert (the k->1 and oracle paths)
 # ---------------------------------------------------------------------------
 

@@ -166,7 +166,8 @@ def ntt_inv(data, tw, tw_sh, q, two_q, tw_last, tw_last_sh, n_inv, n_inv_sh):
 def _pallas_ok(ctx, data) -> bool:
     from hehub_tpu import config
 
-    return config.pallas_enabled() and data.shape[-1] >= 256
+    # below n=1024 the transposed tail's minor axis (n/128 < 8) pads too hard
+    return config.pallas_enabled() and data.shape[-1] >= 1024
 
 
 def ntt(ctx, data, limb_ids: Tuple[int, ...]):

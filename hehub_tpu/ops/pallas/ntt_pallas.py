@@ -6,17 +6,19 @@ resident in VMEM for the whole transform — one HBM read, one write, the
 memory-bound speed-of-light — with all butterflies on the VPU.
 
 Layout: a row of length n is processed as [G, B] with B = 128 lanes. Stages
-with gap >= B pair sublane rows; stages with gap < B run after one in-VMEM
-transpose to [B, G], so every reshape Mosaic sees keeps the minor (lane) axis
-at n/B = G >= 128 or a multiple of B — no sub-lane shape casts.
+with gap >= B run in natural layout (minor-axis splits keep the lane axis a
+multiple of B >= 128, the only minor-axis reshape Mosaic supports); stages
+with gap < B run after one in-VMEM transpose to [B, G], where every further
+reshape is a pure sublane split with the minor axis fixed at G.
 
-Twiddles are host-expanded to one [log2 n, n/2] per-element table per limb,
-already laid out per stage (natural for head stages, transposed for tail), so
-every stage is a pure aligned elementwise multiply. Their grid block index
-depends only on the limb axis, so Pallas DMAs them once per limb and reuses
-them across all row blocks.
+Twiddles are host-expanded per element and per stage, in exactly the geometry
+the kernel consumes: head stages as [L, S_head, n/2] rows (minor split only),
+tail stages as [L, S_tail, B/2, G] blocks (sublane split only) — Mosaic never
+sees a lane-axis relayout. Their grid block index depends only on the limb
+axis, so Pallas DMAs them once per limb and reuses them across row blocks.
 
-Same math and same value ordering as ops/ntt.py; outputs are bitwise equal.
+Same math and same value ordering as ops/ntt.py; outputs are bitwise equal
+(tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -34,17 +36,29 @@ B = 128  # lane width = tail split
 
 
 def _tail_layout(w_slice: np.ndarray, G: int, U: int, t: int) -> np.ndarray:
-    """[m_total] stage twiddles -> per-element [U, t, G] transposed layout."""
+    """[m_total] stage twiddles -> per-element [B/2, G] transposed layout."""
     wT = w_slice.reshape(G, U).T  # [U, G]
-    return np.broadcast_to(wT[:, None, :], (U, t, G)).reshape(-1)
+    return np.broadcast_to(wT[:, None, :], (U, t, G)).reshape(B // 2, G)
+
+
+def _n_tail(n: int) -> int:
+    """Number of tail (gap < B) stages."""
+    return min(B.bit_length() - 1, n.bit_length() - 1)
 
 
 @functools.lru_cache(maxsize=None)
 def _expanded_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
-    """[L, log n, n/2] per-element hi-side twiddles (+ Shoup), host numpy."""
+    """Per-element twiddles in kernel geometry, host numpy.
+
+    Returns (head [L, S_head, n/2], head_sh, tail [L, S_tail, B/2, G],
+    tail_sh). Stage axis order matches kernel traversal: forward = natural
+    stage order (head s=0.., tail continuing); inverse = tail first.
+    """
     n = ctx.params.dimension
     logn = n.bit_length() - 1
     G = n // B
+    s_tail = _n_tail(n)
+    s_head = logn - s_tail
     name = "tw_inv" if inverse else "tw_fwd"
     tw = np.asarray(ctx.rows(name, limb_ids), np.uint32).copy()
     tw_sh = np.asarray(ctx.rows(name + "_sh", limb_ids), np.uint32).copy()
@@ -53,23 +67,27 @@ def _expanded_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
         tw[:, 1] = ctx.rows("tw_inv_last", limb_ids)[:, 0]
         tw_sh[:, 1] = ctx.rows("tw_inv_last_sh", limb_ids)[:, 0]
     L = len(limb_ids)
-    out = np.empty((L, logn, n // 2), np.uint32)
-    out_sh = np.empty((L, logn, n // 2), np.uint32)
+    head = np.empty((L, s_head, n // 2), np.uint32)
+    head_sh = np.empty_like(head)
+    tail = np.empty((L, s_tail, B // 2, G), np.uint32)
+    tail_sh = np.empty_like(tail)
     for s in range(logn):
         t = (1 << s) if inverse else (n >> (s + 1))
         blocks = n // (2 * t)
         sl = slice(blocks, 2 * blocks)
         if t >= B:  # head stage: natural [blocks, t] layout
-            out[:, s] = np.repeat(tw[:, sl], t, axis=1)
-            out_sh[:, s] = np.repeat(tw_sh[:, sl], t, axis=1)
-        else:  # tail stage: transposed [U, t, G] layout
+            hs = s - s_tail if inverse else s
+            head[:, hs] = np.repeat(tw[:, sl], t, axis=1)
+            head_sh[:, hs] = np.repeat(tw_sh[:, sl], t, axis=1)
+        else:  # tail stage: transposed [B/2, G] layout
+            ts = s if inverse else s - s_head
             U = B // (2 * t)
             for k in range(L):
-                out[k, s] = _tail_layout(tw[k, sl], G, U, t)
-                out_sh[k, s] = _tail_layout(tw_sh[k, sl], G, U, t)
-    out.setflags(write=False)
-    out_sh.setflags(write=False)
-    return out, out_sh
+                tail[k, ts] = _tail_layout(tw[k, sl], G, U, t)
+                tail_sh[k, ts] = _tail_layout(tw_sh[k, sl], G, U, t)
+    for a in (head, head_sh, tail, tail_sh):
+        a.setflags(write=False)
+    return head, head_sh, tail, tail_sh
 
 
 def _butterfly_fwd(lo, hi, w, w_sh, q, two_q):
@@ -77,30 +95,30 @@ def _butterfly_fwd(lo, hi, w, w_sh, q, two_q):
     return ma.add_lazy(lo, wh, two_q), ma.sub_lazy(lo, wh, two_q)
 
 
-def _fwd_kernel(n, bb, twe_ref, twe_sh_ref, scal_ref, x_ref, o_ref):
+def _fwd_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_ref):
     logn = n.bit_length() - 1
     G = n // B
+    s_tail = _n_tail(n)
+    s_head = logn - s_tail
     q = scal_ref[0, 0, 0]
     two_q = scal_ref[0, 0, 1]
     x = x_ref[0]  # [bb, n]
-    s = 0
-    while (n >> (s + 1)) >= B:  # head
+    for s in range(s_head):  # head: gap t >= B, natural layout
         m = 1 << s
         t = n >> (s + 1)
-        w = twe_ref[0, s].reshape(m, 1, t)
-        w_sh = twe_sh_ref[0, s].reshape(m, 1, t)
+        w = th_ref[0, s].reshape(m, 1, t)
+        w_sh = th_sh_ref[0, s].reshape(m, 1, t)
         xm = x.reshape(bb, m, 2, t)
         t_lo, t_hi = _butterfly_fwd(
             xm[:, :, 0:1, :], xm[:, :, 1:2, :], w, w_sh, q, two_q
         )
         x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, n)
-        s += 1
     x = jnp.swapaxes(x.reshape(bb, G, B), -1, -2)  # [bb, B, G]
-    for s in range(s, logn):  # tail
-        t = n >> (s + 1)
+    for si in range(s_tail):  # tail: gap t < B, transposed layout
+        t = n >> (s_head + si + 1)
         U = B // (2 * t)
-        w = twe_ref[0, s].reshape(U, 1, t, G)
-        w_sh = twe_sh_ref[0, s].reshape(U, 1, t, G)
+        w = tt_ref[0, si].reshape(U, 1, t, G)
+        w_sh = tt_sh_ref[0, si].reshape(U, 1, t, G)
         xm = x.reshape(bb, U, 2, t, G)
         t_lo, t_hi = _butterfly_fwd(
             xm[:, :, 0:1, :, :], xm[:, :, 1:2, :, :], w, w_sh, q, two_q
@@ -110,8 +128,9 @@ def _fwd_kernel(n, bb, twe_ref, twe_sh_ref, scal_ref, x_ref, o_ref):
     o_ref[0] = x.reshape(bb, n)
 
 
-def _inv_kernel(n, bb, twe_ref, twe_sh_ref, scal_ref, x_ref, o_ref):
+def _inv_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_ref):
     logn = n.bit_length() - 1
+    s_tail = _n_tail(n)
     G = n // B
     q = scal_ref[0, 0, 0]
     two_q = scal_ref[0, 0, 1]
@@ -119,24 +138,22 @@ def _inv_kernel(n, bb, twe_ref, twe_sh_ref, scal_ref, x_ref, o_ref):
     n_inv_sh = scal_ref[0, 0, 3]
     x = x_ref[0].reshape(bb, G, B)
     x = jnp.swapaxes(x, -1, -2)  # [bb, B, G]: tail (small gaps) first
-    s = 0
-    while 2 * (1 << s) <= B:
-        t = 1 << s
+    for si in range(s_tail):
+        t = 1 << si
         U = B // (2 * t)
-        w = twe_ref[0, s].reshape(U, 1, t, G)
-        w_sh = twe_sh_ref[0, s].reshape(U, 1, t, G)
+        w = tt_ref[0, si].reshape(U, 1, t, G)
+        w_sh = tt_sh_ref[0, si].reshape(U, 1, t, G)
         xm = x.reshape(bb, U, 2, t, G)
         lo, hi = xm[:, :, 0:1, :, :], xm[:, :, 1:2, :, :]
         t_lo = ma.add_lazy(lo, hi, two_q)
         t_hi = ma.shoup_mul_lazy(lo + two_q - hi, w, w_sh, q)
         x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, B, G)
-        s += 1
     x = jnp.swapaxes(x, -1, -2).reshape(bb, n)
-    for s in range(s, logn):  # head
+    for s in range(s_tail, logn):  # head
         t = 1 << s
         h = n >> (s + 1)
-        w = twe_ref[0, s].reshape(h, 1, t)
-        w_sh = twe_sh_ref[0, s].reshape(h, 1, t)
+        w = th_ref[0, s - s_tail].reshape(h, 1, t)
+        w_sh = th_sh_ref[0, s - s_tail].reshape(h, 1, t)
         xm = x.reshape(bb, h, 2, t)
         lo, hi = xm[:, :, 0:1, :], xm[:, :, 1:2, :]
         diff = lo + two_q - hi
@@ -158,7 +175,10 @@ def make_ntt(ctx, limb_ids: Tuple[int, ...], inverse: bool, interpret: bool = Fa
     logn = n.bit_length() - 1
     L = len(limb_ids)
     assert n >= 2 * B, "pallas NTT requires n >= 256"
-    twe, twe_sh = _expanded_tables(ctx, limb_ids, inverse)
+    G = n // B
+    s_tail = _n_tail(n)
+    s_head = logn - s_tail
+    th, th_sh, tt, tt_sh = _expanded_tables(ctx, limb_ids, inverse)
     scal = np.zeros((L, 1, 8), np.uint32)
     scal[:, 0, 0] = ctx.rows("q", limb_ids)[:, 0]
     scal[:, 0, 1] = ctx.rows("two_q", limb_ids)[:, 0]
@@ -185,19 +205,21 @@ def make_ntt(ctx, limb_ids: Tuple[int, ...], inverse: bool, interpret: bool = Fa
             body,
             grid=(L, Rp // bb),
             in_specs=[
-                pl.BlockSpec((1, logn, n // 2), lambda l, r: (l, 0, 0)),
-                pl.BlockSpec((1, logn, n // 2), lambda l, r: (l, 0, 0)),
+                pl.BlockSpec((1, s_head, n // 2), lambda l, r: (l, 0, 0)),
+                pl.BlockSpec((1, s_head, n // 2), lambda l, r: (l, 0, 0)),
+                pl.BlockSpec((1, s_tail, B // 2, G), lambda l, r: (l, 0, 0, 0)),
+                pl.BlockSpec((1, s_tail, B // 2, G), lambda l, r: (l, 0, 0, 0)),
                 pl.BlockSpec((1, 1, 8), lambda l, r: (l, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, bb, n), lambda l, r: (l, r, 0)),
             ],
             out_specs=pl.BlockSpec((1, bb, n), lambda l, r: (l, r, 0)),
             out_shape=jax.ShapeDtypeStruct((L, Rp, n), jnp.uint32),
-            input_output_aliases={3: 0},
+            input_output_aliases={5: 0},
             compiler_params=None
             if interpret
             else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(twe, twe_sh, scal, x)
+        )(th, th_sh, tt, tt_sh, scal, x)
         out = out[:, :R] if pad else out
         return jnp.swapaxes(out, 0, 1).reshape(*lead, L, n)
 

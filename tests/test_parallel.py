@@ -1,0 +1,119 @@
+"""Multi-device sharding: genuine 8-device execution on the forced CPU mesh
+(SURVEY.md §4 — the JAX equivalent of multi-node tests without a cluster).
+
+Checks that (batch, limb)-sharded execution is bitwise identical to
+single-device execution for the NTT and for the full CKKS
+mult+relin+rescale step, i.e. the collectives GSPMD inserts for the
+external product's cross-limb digit broadcast do not change the math."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hehub_tpu.core import rns
+from hehub_tpu.core.context import create_ckks_params, make_context
+from hehub_tpu.models import ckks
+from hehub_tpu.ops import ntt as nttmod
+from hehub_tpu.parallel import mesh as pmesh
+from hehub_tpu.rlwe import keys as keys_mod
+from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = create_ckks_params(256, scaling_bits=28, num_levels=4,
+                                use_security_budget=False)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0))
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rlk = type(rlk)(np.asarray(rlk.data), rlk.limb_ids)
+    return params, ctx, sk, rlk
+
+
+def _mult_step(ctx, ids, scale, rlk):
+    def step(c0a, c1a, c0b, c1b):
+        mk = lambda d: rns.RnsPoly(d, rns.NTT, ids)
+        ca = ckks.CkksCt(mk(c0a), mk(c1a), scale)
+        cb = ckks.CkksCt(mk(c0b), mk(c1b), scale)
+        out = ckks.rescale(ctx, ckks.mult(ctx, ca, cb, rlk))
+        return out.c0.data, out.c1.data
+    return step
+
+
+def test_mesh_helpers():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    mesh = pmesh.make_mesh(4, 2)
+    assert mesh.devices.shape == (4, 2)
+    assert pmesh.ct_pspec(1, True) == P(pmesh.BATCH_AXIS, pmesh.LIMB_AXIS, None)
+    with pytest.raises(ValueError):
+        pmesh.make_mesh(8, 2)
+
+
+@pytest.mark.parametrize("batch_ways,limb_ways", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_mult_matches_single_device(setup, batch_ways, limb_ways):
+    params, ctx, sk, rlk = setup
+    ids = tuple(range(len(params.moduli)))
+    scale = params.initial_scaling_factor
+    n, L = params.dimension, len(ids)
+    batch = 2 * batch_ways
+    rng = np.random.default_rng(42)
+    qs = np.asarray(ctx.moduli_of(ids), np.uint32)[:, None]
+    host_args = [
+        rng.integers(0, 1 << 31, (batch, L, n)).astype(np.uint32) % (2 * qs)
+        for _ in range(4)
+    ]
+
+    step = _mult_step(ctx, ids, scale, rlk)
+    want = jax.jit(step)(*host_args)
+
+    mesh = pmesh.make_mesh(batch_ways, limb_ways)
+    shard = NamedSharding(mesh, P(pmesh.BATCH_AXIS, pmesh.LIMB_AXIS, None))
+    dev_args = [jax.device_put(a, shard) for a in host_args]
+    got = jax.jit(step, in_shardings=(shard,) * 4)(*dev_args)
+
+    np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
+
+
+def test_limb_sharded_ntt_roundtrip(setup):
+    params, ctx, _, _ = setup
+    ids = tuple(range(len(params.moduli)))
+    n, L = params.dimension, len(ids)
+    rng = np.random.default_rng(7)
+    qs = np.asarray(ctx.moduli_of(ids), np.uint32)[:, None]
+    x = rng.integers(0, 1 << 31, (8, L, n)).astype(np.uint32) % (2 * qs)
+
+    mesh = pmesh.make_mesh(2, 4)
+    shard = NamedSharding(mesh, P(pmesh.BATCH_AXIS, pmesh.LIMB_AXIS, None))
+    xd = jax.device_put(x, shard)
+
+    fwd = jax.jit(lambda v: nttmod.ntt(ctx, v, ids))
+    inv = jax.jit(lambda v: nttmod.intt(ctx, v, ids))
+    got = np.asarray(inv(fwd(xd)))
+    want = np.asarray(inv(fwd(x)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_sharded_keygen_independent(setup):
+    """Sharded inputs do not perturb key material: decrypt a sharded
+    encrypt-mult round trip."""
+    params, ctx, sk, rlk = setup
+    slots = params.dimension // 2
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(-1, 1, slots)
+    pt = ckks.encode(vals, params)
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(5))
+
+    mesh = pmesh.make_mesh(1, 4)
+    shard = NamedSharding(mesh, P(None, pmesh.LIMB_AXIS, None))
+    c0 = jax.device_put(ct.c0.data[None], shard)[0]
+    c1 = jax.device_put(ct.c1.data[None], shard)[0]
+    ct_sharded = ckks.CkksCt(
+        ct.c0.with_data(c0), ct.c1.with_data(c1), ct.scaling_factor
+    )
+    prod = ckks.rescale(ctx, ckks.mult(ctx, ct_sharded, ct_sharded, rlk))
+    got = ckks.decode(ckks.decrypt(ctx, prod, sk), params)
+    np.testing.assert_allclose(np.real(got), vals * vals, atol=2e-4)
