@@ -5,12 +5,15 @@ Pipeline (Cheon-Han-Kim-Kim-Song style):
   1. mod_raise: reinterpret an exhausted ciphertext (1 limb, modulus q0) over
      the full RNS basis; it then decrypts to t(X) = m(X) + q0·I(X) with small
      integer polynomial I (|I| bounded by the secret's Hamming weight).
-  2. coeff_to_slot: homomorphic linear map packing the n coefficients of t
-     into the n/2 complex slots as z_j = t_j + i·t_{j+n/2} — one pair of
-     BSGS plaintext-matrix products plus a conjugation, with the matrices
-     derived NUMERICALLY from this framework's own encoding layout.
-  3. eval_mod: approximate u ↦ (u mod q0)/q0 on slots via a Chebyshev-basis
-     sine approximation, sin(2πu)/(2π) evaluated by BSGS recurrences.
+  2. coeff_to_slot: homomorphic linear maps taking the n coefficients of t
+     into slot space as TWO real-slot ciphertexts (r_j = t_j,
+     im_j = t_{j+n/2}) — four BSGS plaintext-matrix products plus one
+     conjugation, with the matrices derived NUMERICALLY from this
+     framework's own encoding layout. The halves cannot stay packed as
+     r + i·im because the next stage is nonlinear.
+  3. eval_mod: approximate u ↦ (u mod q0)/q0 on each half via a
+     Chebyshev-basis sine approximation, sin(2πu)/(2π), evaluated by BSGS
+     recurrences with every T_k rebased to scale Δ.
   4. slot_to_coeff: the inverse linear map, returning a fresh ciphertext of
      m at a usable level.
 
@@ -21,7 +24,6 @@ plaintext-scale discipline from circuits/poly_eval.py.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -54,30 +56,29 @@ def _decode_matrix(n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _c2s_s2c_matrices(n: int):
-    """(A, B, C, D) with
-       coeff→slot:  z = A·s + B·conj(s)   (s = current slots = W·t)
-       slot→coeff:  s' = C·z + D·conj(z)  (s' = W·c for c = unpack(z))
-    where z_j = c_j + i·c_{j+n/2}."""
+    """(E, F, G, H, C1, C2) with
+       coeff→slot (two REAL-slot outputs, since EvalMod's sine is not
+       separable over packed complex slots):
+           r  = E·s + F·conj(s)   slots r_j  = t_j
+           im = G·s + H·conj(s)   slots im_j = t_{j+n/2}
+       slot→coeff:
+           s' = C1·r + C2·im      (s' = W·t for t = [r; im])
+    where s = current slots = W·t."""
     s_cnt = n // 2
     W = _decode_matrix(n)
-    # packing P: z = P·c
-    P = np.zeros((s_cnt, n), dtype=np.complex128)
-    P[:, :s_cnt] = np.eye(s_cnt)
-    P[:, s_cnt:] = 1j * np.eye(s_cnt)
-    # z = A·(W c) + B·(conj(W) c) for all real c  =>  [A|B]·[W; conj(W)] = P
     M = np.vstack([W, np.conj(W)])  # [n, n]
-    AB = P @ np.linalg.inv(M)
-    A, B = AB[:, :s_cnt], AB[:, s_cnt:]
-    # unpack: c_j = (z_j + z̄_j)/2, c_{j+s} = (z_j − z̄_j)/(2i)
-    L1 = np.zeros((n, s_cnt), dtype=np.complex128)
-    L2 = np.zeros((n, s_cnt), dtype=np.complex128)
-    L1[:s_cnt] = 0.5 * np.eye(s_cnt)
-    L1[s_cnt:] = np.eye(s_cnt) / 2j
-    L2[:s_cnt] = 0.5 * np.eye(s_cnt)
-    L2[s_cnt:] = -np.eye(s_cnt) / 2j
-    C = W @ L1
-    D = W @ L2
-    return A, B, C, D
+    Minv = np.linalg.inv(M)
+    P_re = np.zeros((s_cnt, n))
+    P_re[:, :s_cnt] = np.eye(s_cnt)
+    P_im = np.zeros((s_cnt, n))
+    P_im[:, s_cnt:] = np.eye(s_cnt)
+    EF = P_re @ Minv
+    GH = P_im @ Minv
+    E, F = EF[:, :s_cnt], EF[:, s_cnt:]
+    G, H = GH[:, :s_cnt], GH[:, s_cnt:]
+    C1 = W[:, :s_cnt]
+    C2 = W[:, s_cnt:]
+    return E, F, G, H, C1, C2
 
 
 # ---------------------------------------------------------------------------
@@ -195,34 +196,41 @@ def coeff_to_slot(
     ct: ckks.CkksCt,
     rot_keys: Dict[int, rgsw_mod.RgswCt],
     conj_key: rgsw_mod.RgswCt,
-) -> ckks.CkksCt:
-    """Slots become z_j = (t_j + i·t_{j+n/2}) / scale (2 matrix products +
-    1 conjugation, 1 level)."""
-    A, B, _, _ = _c2s_s2c_matrices(params.dimension)
+) -> Tuple[ckks.CkksCt, ckks.CkksCt]:
+    """Two REAL-slot outputs: (r, im) with r_j = t_j/scale and
+    im_j = t_{j+n/2}/scale (4 matrix products + 1 conjugation, 1 level).
+    EvalMod's sine approximation needs real arguments, so the coefficient
+    halves cannot stay packed as r + i·im through the nonlinear stage."""
+    E, F, G, H, _, _ = _c2s_s2c_matrices(params.dimension)
     ct_conj = ckks.conjugate(ctx, ct, conj_key)
     lvl = ct.c0.limb_count
     q_drop = ctx.mod_list[lvl - 1]
     target = params.initial_scaling_factor * q_drop
-    ta = linear_transform(ctx, params, A, ct, rot_keys, target_scale=target)
-    tb = linear_transform(ctx, params, B, ct_conj, rot_keys, target_scale=target)
-    return ckks.add(ctx, ta, tb)
+    lt = lambda M, c: linear_transform(ctx, params, M, c, rot_keys,
+                                       target_scale=target)
+    r = ckks.add(ctx, lt(E, ct), lt(F, ct_conj))
+    im = ckks.add(ctx, lt(G, ct), lt(H, ct_conj))
+    return r, im
 
 
 def slot_to_coeff(
     ctx: Context,
     params: CkksParams,
-    ct: ckks.CkksCt,
+    ct_re: ckks.CkksCt,
+    ct_im: ckks.CkksCt,
     rot_keys: Dict[int, rgsw_mod.RgswCt],
-    conj_key: rgsw_mod.RgswCt,
 ) -> ckks.CkksCt:
-    """Inverse packing: coefficients of the output are the packed values."""
-    _, _, C, D = _c2s_s2c_matrices(params.dimension)
-    ct_conj = ckks.conjugate(ctx, ct, conj_key)
-    lvl = ct.c0.limb_count
+    """Inverse packing from the two real-slot halves back to coefficients."""
+    _, _, _, _, C1, C2 = _c2s_s2c_matrices(params.dimension)
+    lvl = min(ct_re.c0.limb_count, ct_im.c0.limb_count)
     q_drop = ctx.mod_list[lvl - 1]
     target = params.initial_scaling_factor * q_drop
-    tc = linear_transform(ctx, params, C, ct, rot_keys, target_scale=target)
-    td = linear_transform(ctx, params, D, ct_conj, rot_keys, target_scale=target)
+    from hehub_tpu.circuits import poly_eval as _pe
+
+    ct_re = _pe.align_level(ctx, ct_re, lvl)
+    ct_im = _pe.align_level(ctx, ct_im, lvl)
+    tc = linear_transform(ctx, params, C1, ct_re, rot_keys, target_scale=target)
+    td = linear_transform(ctx, params, C2, ct_im, rot_keys, target_scale=target)
     return ckks.add(ctx, tc, td)
 
 
@@ -266,13 +274,20 @@ def cheb_eval(
     beta = -(a + b) / (b - a)
     y = pe.poly_eval(ctx, params, ct, [beta, alpha], rlk)
 
+    delta = params.initial_scaling_factor
+    # invariant: every cached T_k sits at EXACTLY scale Δ — each product is
+    # rebased back to Δ (1 extra level per recursion step), which keeps the
+    # compensating scales ≥ 1 at any depth instead of collapsing as (Δ/q)^k
     T: Dict[int, ckks.CkksCt] = {1: y}
 
+    def norm(c: ckks.CkksCt) -> ckks.CkksCt:
+        if abs(c.scaling_factor / delta - 1.0) < 1e-12:
+            return c
+        return pe.rebase_scale(ctx, params, c, target=delta)
+
     def two_t_mult(i: int, j: int) -> ckks.CkksCt:
-        """2·T_i·T_j aligned; returns ct at scale s_i·s_j/q·2 folded in."""
         prod = pe.mult_aligned(ctx, T[i], T[j], rlk)
-        # fold the ×2 via an exact doubling add
-        return ckks.add(ctx, prod, prod)
+        return norm(ckks.add(ctx, prod, prod))  # 2·T_i·T_j at scale Δ
 
     def sub_const(c: ckks.CkksCt, value: float) -> ckks.CkksCt:
         pt = ckks.encode(
@@ -289,34 +304,21 @@ def cheb_eval(
         if k % 2 == 0:
             tk = sub_const(two_t_mult(half, half), 1.0)  # 2T_h² − 1
         else:
-            # T_{h+1+h} = 2·T_{h+1}·T_h − T_1
-            ta = get_T(half + 1)
-            tb = get_T(half)
-            prod2 = two_t_mult(half + 1, half)
-            t1 = T[1]
-            # bring T_1 to prod2's level and exact scale via compensation
-            t1 = pe.align_level(ctx, t1, prod2.c0.limb_count)
-            s = prod2.scaling_factor / t1.scaling_factor
-            if abs(s - 1.0) > 1e-12:
-                q_drop = ctx.mod_list[prod2.c0.limb_ids[-1]]
-                t1 = pe.rebase_scale(ctx, params, t1,
-                                     target=prod2.scaling_factor)
-                prod2 = ckks.rescale(ctx, ckks.mult_plain(
-                    ctx, prod2, ckks.encode(
-                        np.ones(params.dimension // 2), params,
-                        scaling_factor=float(q_drop),
-                        level=len(params.moduli) - prod2.c0.limb_count)))
-            tk = ckks.sub(ctx, prod2, t1)
+            get_T(half + 1)
+            get_T(half)
+            prod2 = two_t_mult(half + 1, half)  # at Δ
+            t1 = pe.align_level(ctx, T[1], prod2.c0.limb_count)
+            tk = ckks.sub(ctx, prod2, t1)  # scales match exactly (both Δ)
         T[k] = tk
         return tk
 
     for k in range(2, d + 1):
         get_T(k)
 
-    # compensated sum: all terms to the minimum level, common target scale
+    # compensated sum: all terms at scale Δ, dropped to the minimum level
     lvl = min(t.c0.limb_count for t in T.values())
     q_drop = ctx.mod_list[lvl - 1]
-    target = params.initial_scaling_factor * q_drop
+    target = delta * q_drop
     acc = None
     for k in range(1, d + 1):
         if coeffs[k] == 0.0:
@@ -375,14 +377,14 @@ def bootstrap(
     The message scale Δ_in must satisfy Δ_in·|v| ≪ q0 (the sine
     approximation sees m/q0 as the fractional part)."""
     raised = mod_raise(ctx, ct)  # scale q0, value t/q0
-    z = coeff_to_slot(ctx, params, raised, rot_keys, conj_key)
-    w = eval_mod(ctx, params, z, rlk, k_bound, degree)
-    out = slot_to_coeff(ctx, params, w, rot_keys, conj_key)
-    # slots of `out`'s underlying plaintext are m_j/q0·(working scale):
-    # coefficient domain now holds m/q0 at the working scale, i.e. the
-    # message m at scale (working_scale · q0) / q0... net: original message
-    # value v = m/Δ_in is represented at scale scale_out·q0/Δ_in... fold the
-    # q0 factor into the scaling factor so decode returns v directly.
+    z_re, z_im = coeff_to_slot(ctx, params, raised, rot_keys, conj_key)
+    w_re = eval_mod(ctx, params, z_re, rlk, k_bound, degree)
+    w_im = eval_mod(ctx, params, z_im, rlk, k_bound, degree)
+    out = slot_to_coeff(ctx, params, w_re, w_im, rot_keys)
+    # The output's coefficients represent m/q0 at the working scale Δ_w, so
+    # they equal m·(Δ_w/q0): the message v = m/Δ_in therefore sits at an
+    # effective scaling factor Δ_w·Δ_in/q0.
     q0 = ctx.mod_list[ct.c0.limb_ids[0]]
-    return ckks.CkksCt(out.c0, out.c1,
-                       out.scaling_factor * float(q0) / 1.0)
+    return ckks.CkksCt(
+        out.c0, out.c1, out.scaling_factor * ct.scaling_factor / float(q0)
+    )

@@ -51,11 +51,29 @@ class RlweSk:
         return self.ntt[idx], self.ntt_sh[idx]
 
 
-def keygen(ctx: Context, key) -> RlweSk:
-    """Sample a ternary secret and precompute its NTT/Shoup tables."""
+def keygen(ctx: Context, key, hamming_weight: Optional[int] = None) -> RlweSk:
+    """Sample a ternary secret and precompute its NTT/Shoup tables.
+
+    `hamming_weight`: sample a SPARSE ternary secret with exactly that many
+    nonzero (±1) coefficients — the standard choice for CKKS bootstrapping,
+    where it bounds the mod-raise overflow polynomial I(X) by ~(h+1)/2."""
     n = ctx.params.dimension
     all_ids = tuple(range(len(ctx.mod_list)))
-    tern = np.asarray(jax.random.randint(key, (n,), -1, 2, dtype=np.int32), np.int8)
+    if hamming_weight is None:
+        tern = np.asarray(
+            jax.random.randint(key, (n,), -1, 2, dtype=np.int32), np.int8
+        )
+    else:
+        h = int(hamming_weight)
+        if not 0 < h <= n:
+            raise ValueError(f"hamming weight {h} out of range (0, {n}]")
+        k_pos, k_sign = jax.random.split(key)
+        pos = np.asarray(jax.random.permutation(k_pos, n))[:h]
+        signs = np.asarray(
+            jax.random.randint(k_sign, (h,), 0, 2, dtype=np.int32)
+        ) * 2 - 1
+        tern = np.zeros(n, np.int8)
+        tern[pos] = signs.astype(np.int8)
     qs = np.asarray([ctx.mod_list[i] for i in all_ids], np.uint32)[:, None]
     resid = (tern.astype(np.int64)[None, :] % qs.astype(np.int64)).astype(np.uint32)
     poly = RnsPoly(resid, rns.COEFF, all_ids)

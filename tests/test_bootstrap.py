@@ -1,0 +1,145 @@
+"""CKKS bootstrapping (the reference's ckks_boot.h is an empty stub) —
+stage-by-stage verification plus the env-gated full pipeline.
+
+The full pipeline (HEHUB_SLOW=1) takes minutes on CPU; default CI runs the
+stage tests: numeric matrix identities, the homomorphic BSGS linear
+transform, mod_raise + coeff_to_slot against the exactly-decrypted t(X),
+and a small-degree eval_mod."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from hehub_tpu.circuits import bootstrap as bs
+from hehub_tpu.core import basecnv, rns
+from hehub_tpu.core.context import create_ckks_params, make_context
+from hehub_tpu.models import ckks
+from hehub_tpu.rlwe import keys as keys_mod
+from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+N = 128
+SLOTS = N // 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = create_ckks_params(N, scaling_bits=28, num_levels=10,
+                                use_security_budget=False)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rot_keys = {
+        st: keys_mod.rot_key(ctx, sk, st, jax.random.key(100 + st))
+        for st in bs.bootstrap_rotation_steps(params)
+    }
+    ck = keys_mod.conj_key(ctx, sk, jax.random.key(5))
+    return params, ctx, sk, rlk, rot_keys, ck
+
+
+def test_c2s_s2c_matrix_identities():
+    from hehub_tpu.models.ckks import _slots_to_read
+
+    W = bs._decode_matrix(N)
+    rng = np.random.default_rng(0)
+    c = rng.uniform(-1, 1, N)
+    np.testing.assert_allclose(W @ c, _slots_to_read(c, N, SLOTS), atol=1e-9)
+    E, F, G, H, C1, C2 = bs._c2s_s2c_matrices(N)
+    s = W @ c
+    r = E @ s + F @ np.conj(s)
+    im = G @ s + H @ np.conj(s)
+    np.testing.assert_allclose(r, c[:SLOTS], atol=1e-9)
+    np.testing.assert_allclose(im, c[SLOTS:], atol=1e-9)
+    np.testing.assert_allclose(C1 @ r + C2 @ im, s, atol=1e-9)
+
+
+def test_linear_transform_random_matrix(setup):
+    params, ctx, sk, _, rot_keys, _ = setup
+    rng = np.random.default_rng(1)
+    z = rng.uniform(-1, 1, SLOTS) + 1j * rng.uniform(-1, 1, SLOTS)
+    ct = ckks.encrypt(ctx, ckks.encode(z, params), sk, jax.random.key(7))
+    M = rng.uniform(-1, 1, (SLOTS, SLOTS)) + 1j * rng.uniform(-1, 1, (SLOTS, SLOTS))
+    out = bs.linear_transform(ctx, params, M, ct, rot_keys)
+    got = ckks.decode(ckks.decrypt(ctx, out, sk), params)
+    np.testing.assert_allclose(got, M @ z, atol=1e-3)
+    assert out.scaling_factor == params.initial_scaling_factor
+
+
+def test_mod_raise_and_coeff_to_slot(setup):
+    params, ctx, sk, _, rot_keys, ck = setup
+    rng = np.random.default_rng(2)
+    v = rng.uniform(-1, 1, SLOTS)
+    d_in = 2.0**20
+    pt = ckks.encode(v, params, scaling_factor=d_in,
+                     level=len(params.moduli) - 1)
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(8))
+    q0 = ctx.mod_list[0]
+    raised = bs.mod_raise(ctx, ct)
+    assert raised.c0.limb_count == len(params.moduli)
+    # exact t(X) from decryption: slots after C2S must equal (t_j+i·t_{j+s})/q0
+    ptr = ckks.decrypt(ctx, raised, sk)
+    coeffs = np.asarray(rns.reduce_strict(ctx, ptr.poly).data)
+    t = np.asarray(
+        basecnv.compose_to_int(coeffs, ctx.moduli_of(ptr.poly.limb_ids)),
+        dtype=np.float64,
+    )
+    z_re, z_im = bs.coeff_to_slot(ctx, params, raised, rot_keys, ck)
+    got_re = np.real(ckks.decode(ckks.decrypt(ctx, z_re, sk), params))
+    got_im = np.real(ckks.decode(ckks.decrypt(ctx, z_im, sk), params))
+    np.testing.assert_allclose(got_re, t[:SLOTS] / q0, atol=1e-3)
+    np.testing.assert_allclose(got_im, t[SLOTS:] / q0, atol=1e-3)
+    # round trip through slot_to_coeff restores the original slots
+    back = bs.slot_to_coeff(ctx, params, z_re, z_im, rot_keys)
+    got_s = ckks.decode(ckks.decrypt(ctx, back, sk), params)
+    want_s = ckks.decode(ckks.decrypt(ctx, raised, sk), params)
+    np.testing.assert_allclose(got_s, want_s, atol=1e-2)
+    # the mod-raise overflow I(X) respects the sparse-key bound
+    m = np.where(t % q0 > q0 / 2, t % q0 - q0, t % q0)
+    I = np.round((t - m) / q0)
+    assert np.abs(I).max() <= 5  # hamming weight 8 -> |I| <~ (h+1)/2
+
+
+def test_eval_mod_small_degree():
+    # degree 15 with the scale-rebase discipline consumes ~11 levels
+    params = create_ckks_params(N, scaling_bits=28, num_levels=13,
+                                use_security_budget=False)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rng = np.random.default_rng(3)
+    I = rng.integers(-1, 2, SLOTS).astype(float)
+    frac = rng.uniform(-1e-3, 1e-3, SLOTS)
+    ct = ckks.encrypt(ctx, ckks.encode(I + frac, params), sk, jax.random.key(9))
+    out = bs.eval_mod(ctx, params, ct, rlk, k_bound=1, degree=15)
+    got = np.real(ckks.decode(ckks.decrypt(ctx, out, sk), params))
+    # ~12 levels of homomorphic noise at working scale 2^28 -> ~1e-4
+    np.testing.assert_allclose(got, frac, atol=3e-4)
+
+
+@pytest.mark.skipif(os.environ.get("HEHUB_SLOW") != "1",
+                    reason="full bootstrap takes minutes; set HEHUB_SLOW=1")
+def test_full_bootstrap():
+    params = create_ckks_params(N, scaling_bits=28, num_levels=20,
+                                use_security_budget=False)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rot_keys = {
+        st: keys_mod.rot_key(ctx, sk, st, jax.random.key(100 + st))
+        for st in bs.bootstrap_rotation_steps(params)
+    }
+    ck = keys_mod.conj_key(ctx, sk, jax.random.key(5))
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-1, 1, SLOTS)
+    # Δ_in = 2^22 balances the sine's cubic error (grows with m/q0) against
+    # homomorphic-noise amplification by q0/Δ_in; measured err ≈ 0.018
+    pt = ckks.encode(v, params, scaling_factor=2.0**22,
+                     level=len(params.moduli) - 1)
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(7))
+    out = bs.bootstrap(ctx, params, ct, rlk, rot_keys, ck,
+                       k_bound=5, degree=63)
+    assert out.c0.limb_count >= 3  # usable levels remain after refresh
+    got = np.real(ckks.decode(ckks.decrypt(ctx, out, sk), params))
+    assert np.abs(got - v).max() < 5e-2
