@@ -95,14 +95,18 @@ def _butterfly_fwd(lo, hi, w, w_sh, q, two_q):
     return ma.add_lazy(lo, wh, two_q), ma.sub_lazy(lo, wh, two_q)
 
 
-def _fwd_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_ref):
+def fwd_stage_chain(x, th_ref, th_sh_ref, tt_ref, tt_sh_ref, q, two_q,
+                    n: int, bb: int):
+    """The full forward butterfly chain on a VMEM-resident [bb, n] tile.
+    th_ref/tt_ref are the kernel REFS for the twiddle blocks ([1, s_head,
+    n/2] and [1, s_tail, B/2, G]) — per-stage rows must be read straight
+    from the ref (th_ref[0, s]); slicing a materialized value instead
+    produces a layout Mosaic cannot shape-cast. Shared by the standalone
+    NTT kernel and the fused external-product kernel."""
     logn = n.bit_length() - 1
     G = n // B
     s_tail = _n_tail(n)
     s_head = logn - s_tail
-    q = scal_ref[0, 0, 0]
-    two_q = scal_ref[0, 0, 1]
-    x = x_ref[0]  # [bb, n]
     for s in range(s_head):  # head: gap t >= B, natural layout
         m = 1 << s
         t = n >> (s + 1)
@@ -125,7 +129,15 @@ def _fwd_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_
         )
         x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, B, G)
     x = jnp.swapaxes(x, -1, -2)
-    o_ref[0] = x.reshape(bb, n)
+    return x.reshape(bb, n)
+
+
+def _fwd_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_ref):
+    q = scal_ref[0, 0, 0]
+    two_q = scal_ref[0, 0, 1]
+    o_ref[0] = fwd_stage_chain(
+        x_ref[0], th_ref, th_sh_ref, tt_ref, tt_sh_ref, q, two_q, n, bb,
+    )
 
 
 def _inv_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_ref):

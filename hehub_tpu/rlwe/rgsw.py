@@ -112,17 +112,38 @@ def ext_prod(ctx: Context, poly: RnsPoly, rgsw: RgswCt) -> rlwe_mod.RlweCt:
 
     # digits: coeff-form strict residues of each limb
     d = rns.reduce_strict(ctx, rns.to_coeff(ctx, poly))  # [..., l, n], [0, q_i)
-    # broadcast each digit across target limbs and NTT under each target
-    # modulus: [..., l(src), l+1(dst), n]. Digit values < q_i < 2 q_j for all
-    # 30-bit limb pairs, so they are valid lazy inputs under q_j.
+
+    n = poly.dimension
+    from hehub_tpu import config
+
+    if config.pallas_enabled() and n >= 1024:
+        # fused kernel: digit NTTs + Montgomery contraction stay in VMEM per
+        # output limb (bitwise equal to the XLA path below)
+        from hehub_tpu.ops.pallas import extprod_pallas
+
+        batch_shape = d.data.shape[:-2]
+        digits = d.data.reshape(-1, l, n)
+        key_t = jnp.transpose(rgsw.data[:l], (2, 0, 1, 3))  # [L_ext, l, 2, n]
+        out = extprod_pallas.make_ext_prod(ctx, ids, ids_ext)(digits, key_t)
+        halves = []
+        for half in range(2):
+            h = jnp.transpose(out[:, :, half], (1, 0, 2))  # [R, L_ext, n]
+            halves.append(
+                RnsPoly(h.reshape(*batch_shape, l + 1, n), NTT, ids_ext)
+            )
+        return rlwe_mod.RlweCt(halves[0], halves[1])
+
+    # XLA path: broadcast each digit across target limbs and NTT under each
+    # target modulus: [..., l(src), l+1(dst), n]. Digit values < q_i < 2 q_j
+    # for all 30-bit limb pairs, so they are valid lazy inputs under q_j.
+    # (The reference keeps the original NTT values on the diagonal,
+    # rgsw.cpp:99-101, purely to skip those transforms; the re-NTT'd digit
+    # is the same value mod q_i, so we use it uniformly.)
     tiled = jnp.broadcast_to(
         d.data[..., :, None, :],
         (*d.data.shape[:-2], l, l + 1, poly.dimension),
     )
     D = nttmod.ntt(ctx, tiled, ids_ext)
-    # keep the original (exact) NTT values on the diagonal (≙ rgsw.cpp:99-101)
-    eye = np.eye(l, l + 1, dtype=bool)[:, :, None]
-    D = jnp.where(eye, poly.data[..., :, None, :], D)
 
     q = ctx.rows("q", ids_ext)
     two_q = ctx.rows("two_q", ids_ext)

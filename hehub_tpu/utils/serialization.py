@@ -60,6 +60,12 @@ def _meta(obj) -> Dict[str, Any]:
         return {"kind": "RgswCt", "limb_ids": list(obj.limb_ids)}
     if isinstance(obj, rlwe_mod.RlweSk):
         return {"kind": "RlweSk"}
+    from hehub_tpu.models import tfhe as tfhe_mod
+
+    if isinstance(obj, tfhe_mod.TfheKeys):
+        return {"kind": "TfheKeys"}
+    if isinstance(obj, tfhe_mod.LweCt):
+        return {"kind": "LweCt"}
     raise TypeError(f"unsupported object {type(obj)}")
 
 
@@ -74,6 +80,16 @@ def _arrays(obj) -> Dict[str, np.ndarray]:
         return {"data": np.asarray(obj.data)}
     if isinstance(obj, rlwe_mod.RlweSk):
         return {"coeffs": obj.coeffs, "ntt": obj.ntt, "ntt_sh": obj.ntt_sh}
+    from hehub_tpu.models import tfhe as tfhe_mod
+
+    if isinstance(obj, tfhe_mod.TfheKeys):
+        d = {"lwe_s": np.asarray(obj.lwe_s), "bsk": np.asarray(obj.bsk),
+             "ksk_a": np.asarray(obj.ksk_a), "ksk_a_sh": np.asarray(obj.ksk_a_sh),
+             "ksk_b": np.asarray(obj.ksk_b), "ksk_b_sh": np.asarray(obj.ksk_b_sh)}
+        d.update({f"sk_{k}": v for k, v in _arrays(obj.rlwe_sk).items()})
+        return d
+    if isinstance(obj, tfhe_mod.LweCt):
+        return {"a": np.asarray(obj.a), "b": np.asarray(obj.b)}
     raise TypeError(f"unsupported object {type(obj)}")
 
 
@@ -126,6 +142,18 @@ def load(path_or_file):
         obj = rgsw_mod.RgswCt(z["data"], tuple(meta["limb_ids"]))
     elif kind == "RlweSk":
         obj = rlwe_mod.RlweSk(z["coeffs"], z["ntt"], z["ntt_sh"])
+    elif kind == "TfheKeys":
+        from hehub_tpu.models import tfhe as tfhe_mod
+
+        obj = tfhe_mod.TfheKeys(
+            z["lwe_s"],
+            rlwe_mod.RlweSk(z["sk_coeffs"], z["sk_ntt"], z["sk_ntt_sh"]),
+            z["bsk"], z["ksk_a"], z["ksk_a_sh"], z["ksk_b"], z["ksk_b_sh"],
+        )
+    elif kind == "LweCt":
+        from hehub_tpu.models import tfhe as tfhe_mod
+
+        obj = tfhe_mod.LweCt(z["a"], z["b"])
     else:
         raise ValueError(f"unknown kind {kind}")
     return obj, params

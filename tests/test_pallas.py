@@ -37,3 +37,45 @@ def test_pallas_row_padding():
     ref = np.asarray(nttmod.ntt(ctx, x, ids))
     got = np.asarray(ntt_pallas.make_ntt(ctx, ids, inverse=False, interpret=True)(x))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_pallas_ext_prod_bitwise_equal():
+    """Fused external-product kernel == XLA path, bitwise."""
+    import jax
+
+    from hehub_tpu.core import rns as rns_mod
+    from hehub_tpu.ops.pallas import extprod_pallas
+    from hehub_tpu.rlwe import keys as keys_mod
+    from hehub_tpu.rlwe import rgsw as rgsw_mod
+    from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+    n = 1024
+    primes = hm.gen_ntt_primes(30, 4, n)
+    ctx = make_context(
+        RlweParams(dimension=n, moduli=primes[1:], special_mod=primes[0])
+    )
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0))
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    ids = (0, 1, 2)
+    ids_ext = rlk.limb_ids
+    qs = np.asarray(ctx.moduli_of(ids), np.uint32)[:, None]
+    x = RNG.integers(0, 1 << 31, (2, 3, n)).astype(np.uint32) % (2 * qs)
+    poly = rns_mod.RnsPoly(x, rns_mod.NTT, ids)
+
+    # XLA reference
+    want = rgsw_mod.ext_prod(ctx, poly, rlk)
+
+    # fused kernel in interpret mode
+    import jax.numpy as jnp
+
+    d = rns_mod.reduce_strict(ctx, rns_mod.to_coeff(ctx, poly))
+    digits = d.data.reshape(-1, 3, n)
+    key_t = jnp.transpose(rlk.data[:3], (2, 0, 1, 3))
+    out = extprod_pallas.make_ext_prod(ctx, ids, ids_ext, interpret=True)(
+        digits, key_t
+    )
+    for half, ref in ((0, want.c0), (1, want.c1)):
+        got = np.asarray(jnp.transpose(out[:, :, half], (1, 0, 2))).reshape(
+            2, 4, n
+        )
+        np.testing.assert_array_equal(got, np.asarray(ref.data))

@@ -64,3 +64,25 @@ def test_bgv_ct_roundtrip():
     assert p2 == params and ct2.plain_modulus == t
     got = bgv.simd_decode(ctx, bgv.decrypt(ctx, ct2, sk), count=16)
     np.testing.assert_array_equal(got, data)
+
+
+def test_tfhe_keys_roundtrip(tmp_path):
+    import jax
+
+    from hehub_tpu.models import tfhe
+
+    params = tfhe.TfheParams(rlwe_dimension=256, lwe_dimension=16,
+                             decomp_levels=2, ks_levels=2)
+    keys = tfhe.keygen(params, jax.random.key(0))
+    p = tmp_path / "tfhe_keys.npz"
+    ser.save(p, keys, params.rlwe_params)
+    loaded, lp = ser.load(p)
+    assert lp == params.rlwe_params
+    np.testing.assert_array_equal(loaded.lwe_s, keys.lwe_s)
+    np.testing.assert_array_equal(np.asarray(loaded.bsk), np.asarray(keys.bsk))
+    np.testing.assert_array_equal(loaded.ksk_b, np.asarray(keys.ksk_b))
+    np.testing.assert_array_equal(loaded.rlwe_sk.coeffs, keys.rlwe_sk.coeffs)
+    # the loaded keys actually WORK: encrypt/decrypt a bit
+    ct = tfhe.lwe_encrypt(params, tfhe.encode_bit(params, 1),
+                          loaded.lwe_s, jax.random.key(1))
+    assert int(tfhe.lwe_decrypt_bit(params, ct, loaded.lwe_s)) == 1
