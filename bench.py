@@ -23,17 +23,11 @@ import numpy as np
 
 
 def _timeit(fn, args, warmup=2, iters=8):
-    import jax
+    """TRUE device time per call via a profiler trace — wall clocks lie on
+    the remote-tunnel TPU backend (block_until_ready returns at enqueue)."""
+    from hehub_tpu.utils import profiling
 
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    return profiling.device_time(fn, args, iters=iters)
 
 
 def _err(*a):
@@ -91,16 +85,14 @@ def full_table():
             ct = ckks.encrypt(ctx, pt, sk, key)
             return ct.c0.data, ct.c1.data
 
-        def encode_encrypt():
-            return encrypt_dev(ckks.encode(vec, params).poly.data, enc_key)
-
-        c0, c1 = encode_encrypt()
-        jax.block_until_ready(c0)
+        pt_host = ckks.encode(vec, params)
         t0 = time.perf_counter()
         for _ in range(4):
-            out = encode_encrypt()
-        jax.block_until_ready(out)
-        t_ee = (time.perf_counter() - t0) / 4
+            pt_host = ckks.encode(vec, params)
+        t_enc_host = (time.perf_counter() - t0) / 4
+        t_ee = t_enc_host + _timeit(encrypt_dev, (pt_host.poly.data, enc_key),
+                                    iters=4)
+        c0, c1 = encrypt_dev(pt_host.poly.data, enc_key)
 
         ct = ckks.CkksCt(
             rns.RnsPoly(c0, rns.NTT, ids), rns.RnsPoly(c1, rns.NTT, ids), scale0
@@ -114,17 +106,15 @@ def full_table():
             )
             return ckks.decrypt(ctx, c, sk).poly.data
 
-        def decrypt_decode():
-            pt_data = np.asarray(decrypt_dev(ct.c0.data, ct.c1.data))
-            return ckks.decode(
-                ckks.CkksPt(rns.RnsPoly(pt_data, rns.COEFF, ids), scale0), params
-            )
-
-        decrypt_decode()
+        t_dec_dev = _timeit(decrypt_dev, (ct.c0.data, ct.c1.data), iters=4)
+        pt_data = np.asarray(decrypt_dev(ct.c0.data, ct.c1.data))
         t0 = time.perf_counter()
         for _ in range(4):
-            decrypt_decode()
-        t_dd = (time.perf_counter() - t0) / 4
+            ckks.decode(
+                ckks.CkksPt(rns.RnsPoly(pt_data, rns.COEFF, ids), scale0),
+                params,
+            )
+        t_dd = t_dec_dev + (time.perf_counter() - t0) / 4
         _err(
             f"[table] {n:6d} | {t_fwd*1e6/k:7.1f} | {t_inv*1e6/k:7.1f} | "
             f"{t_ee*1e3:8.2f} | {t_dd*1e3:8.2f}"
@@ -135,7 +125,7 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     n = 2048 if small else 16384
     levels = 3 if small else 7
-    batch = 4 if small else 16
+    batch = 4 if small else 64
 
     import jax
 
@@ -231,14 +221,15 @@ def main():
         pt = ckks.encode(vec, params)
         return encrypt_dev(pt.poly.data, enc_key)
 
-    out = encode_encrypt()
-    jax.block_until_ready(out)
+    pt_data = ckks.encode(vec, params).poly.data
     t0 = time.perf_counter()
     for _ in range(4):
-        out = encode_encrypt()
-    jax.block_until_ready(out)
-    t_ee = (time.perf_counter() - t0) / 4
-    _err(f"[bench] CKKS encode+encrypt n={n}: {t_ee*1e3:.2f} ms")
+        pt_host = ckks.encode(vec, params)
+    t_encode = (time.perf_counter() - t0) / 4
+    t_encrypt = _timeit(encrypt_dev, (pt_host.poly.data, enc_key), iters=4)
+    t_ee = t_encode + t_encrypt
+    _err(f"[bench] CKKS encode+encrypt n={n}: {t_ee*1e3:.2f} ms "
+         f"(host encode {t_encode*1e3:.2f} + device {t_encrypt*1e3:.2f})")
 
     extra = {
         "ntt_fwd_us_per_transform": t_fwd * 1e6 / (batch * L),

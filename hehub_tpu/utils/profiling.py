@@ -36,6 +36,58 @@ def time_op(fn: Callable, args: tuple, warmup: int = 2, iters: int = 10) -> floa
     return (time.perf_counter() - t0) / iters
 
 
+def device_time(fn: Callable, args: tuple, iters: int = 4) -> float:
+    """TRUE device seconds per call, from a jax.profiler trace.
+
+    Wall clocks lie on remote-tunnel backends: block_until_ready can return
+    at enqueue time and device-to-host fetches carry tens of ms of RPC
+    latency. The profiler's device timeline is the only honest measurement
+    there, so this captures a trace around `iters` calls and sums the
+    device-side `jit_*` executable durations. Falls back to wall clock when
+    no device events appear (CPU backend)."""
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        jax.profiler.start_trace(td)
+        try:
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+        finally:
+            jax.profiler.stop_trace()
+        wall = (time.perf_counter() - t0) / iters
+        traces = sorted(glob.glob(f"{td}/plugins/profile/*/*.trace.json.gz"))
+        if not traces:
+            return wall
+        with gzip.open(traces[-1]) as f:
+            data = json.load(f)
+        events = data.get("traceEvents", [])
+        pids = {
+            e["pid"]: str(e["args"].get("name", ""))
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        total = 0.0
+        for e in events:
+            if (
+                e.get("ph") == "X"
+                and "dur" in e
+                and "TPU" in pids.get(e["pid"], "")
+                and str(e.get("name", "")).startswith("jit_")
+            ):
+                total += e["dur"]
+        if total == 0.0:
+            return wall
+        return total / iters / 1e6
+
+
 @dataclasses.dataclass
 class Roofline:
     seconds: float
