@@ -98,6 +98,14 @@ def _butterfly_fwd(lo, hi, w, w_sh, q, two_q):
 def fwd_stage_chain(x, th_ref, th_sh_ref, tt_ref, tt_sh_ref, q, two_q,
                     n: int, bb: int):
     """The full forward butterfly chain on a VMEM-resident [bb, n] tile.
+
+    Every stage is a SUBLANE split with the lane axis fixed at width B:
+    head stages (gap t >= B) view the row as [G, B] — elements pairing at
+    gap t differ only in the sublane coordinate g (t/B rows apart) — and
+    tail stages run after one transpose to [B, G]. Lane-axis reshapes per
+    stage (the naive natural-layout formulation) make Mosaic emit a full
+    cross-lane relayout per stage and run ~3x slower.
+
     th_ref/tt_ref are the kernel REFS for the twiddle blocks ([1, s_head,
     n/2] and [1, s_tail, B/2, G]) — per-stage rows must be read straight
     from the ref (th_ref[0, s]); slicing a materialized value instead
@@ -107,17 +115,18 @@ def fwd_stage_chain(x, th_ref, th_sh_ref, tt_ref, tt_sh_ref, q, two_q,
     G = n // B
     s_tail = _n_tail(n)
     s_head = logn - s_tail
-    for s in range(s_head):  # head: gap t >= B, natural layout
+    x = x.reshape(bb, G, B)
+    for s in range(s_head):  # head: gap t >= B, [G, B] view, split G
         m = 1 << s
-        t = n >> (s + 1)
-        w = th_ref[0, s].reshape(m, 1, t)
-        w_sh = th_sh_ref[0, s].reshape(m, 1, t)
-        xm = x.reshape(bb, m, 2, t)
+        tb = n >> (s + 1 + B.bit_length() - 1)  # t/B rows per half-block
+        w = th_ref[0, s].reshape(m, 1, tb, B)
+        w_sh = th_sh_ref[0, s].reshape(m, 1, tb, B)
+        xm = x.reshape(bb, m, 2, tb, B)
         t_lo, t_hi = _butterfly_fwd(
-            xm[:, :, 0:1, :], xm[:, :, 1:2, :], w, w_sh, q, two_q
+            xm[:, :, 0:1, :, :], xm[:, :, 1:2, :, :], w, w_sh, q, two_q
         )
-        x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, n)
-    x = jnp.swapaxes(x.reshape(bb, G, B), -1, -2)  # [bb, B, G]
+        x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, G, B)
+    x = jnp.swapaxes(x, -1, -2)  # [bb, B, G]
     for si in range(s_tail):  # tail: gap t < B, transposed layout
         t = n >> (s_head + si + 1)
         U = B // (2 * t)
@@ -161,6 +170,10 @@ def _inv_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_
         t_hi = ma.shoup_mul_lazy(lo + two_q - hi, w, w_sh, q)
         x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, B, G)
     x = jnp.swapaxes(x, -1, -2).reshape(bb, n)
+    # NOTE: the inverse head runs in the natural minor-split layout — the
+    # [G, B] sublane view that speeds the FORWARD head up by 20% makes the
+    # inverse 25% slower (measured; the inverse's small-gap-first traversal
+    # hits Mosaic's adjacent-sublane interleave worst case).
     for s in range(s_tail, logn):  # head
         t = 1 << s
         h = n >> (s + 1)
