@@ -91,40 +91,48 @@ def _twist(n: int) -> np.ndarray:
 
 
 def _coeffs_from_slots(data: np.ndarray, n: int) -> np.ndarray:
-    """Complex slot values -> real negacyclic coefficients (float64)."""
-    slots = n // 2
-    pos = _slot_positions(n)[: len(data)]
-    ev = np.zeros(n, dtype=np.complex128)
-    ev[pos] = data
-    ev[n - 1 - pos] = np.conj(data)
-    b = np.fft.fft(ev) / n
+    """Complex slot values [..., k] -> real negacyclic coefficients
+    [..., n] (float64). Batched over leading dims (vectorized FFT)."""
+    pos = _slot_positions(n)[: data.shape[-1]]
+    ev = np.zeros((*data.shape[:-1], n), dtype=np.complex128)
+    ev[..., pos] = data
+    ev[..., n - 1 - pos] = np.conj(data)
+    b = np.fft.fft(ev, axis=-1) / n
     return (b * np.conj(_twist(n))).real
 
 
 def _slots_to_read(coeffs: np.ndarray, n: int, count: int) -> np.ndarray:
-    ev = n * np.fft.ifft(coeffs * _twist(n))
+    ev = n * np.fft.ifft(coeffs * _twist(n), axis=-1)
     pos = _slot_positions(n)[:count]
-    return ev[pos]
+    return ev[..., pos]
 
 
 def encode(
     data, params: CkksParams, scaling_factor: Optional[float] = None, level: int = 0
 ) -> CkksPt:
     """SIMD-encode up to n/2 complex numbers (≙ ckks::simd_encode,
-    basics.cpp:156-272). `level`=0 means all limbs; level=k drops the last k."""
+    basics.cpp:156-272). `level`=0 means all limbs; level=k drops the last k.
+
+    `data` may carry leading batch dims ([..., slots]): the FFT and residue
+    decomposition vectorize, yielding a batched plaintext [..., L, n]."""
     ctx = make_context(params)
     n = params.dimension
     scale = scaling_factor or params.initial_scaling_factor
     data = np.atleast_1d(np.asarray(data, dtype=np.complex128))
-    if data.ndim != 1 or len(data) > n // 2:
+    if data.shape[-1] > n // 2:
         raise ValueError(f"can encode at most {n//2} slots")
     coeffs = _coeffs_from_slots(data, n) * scale
     ids = tuple(range(len(params.moduli) - level))
     mods = ctx.moduli_of(ids)
     if np.abs(coeffs).max(initial=0.0) < 2**52:
         ints = np.rint(coeffs).astype(np.int64)
-        resid = np.stack([(ints % q).astype(np.uint32) for q in mods])
+        qs = np.asarray(mods, np.int64).reshape(
+            (len(mods),) + (1,) * ints.ndim
+        )
+        resid = np.moveaxis(ints[None] % qs, 0, -2).astype(np.uint32)
     else:  # big-coefficient path, exact via Python ints (≙ basics.cpp:226-254)
+        if coeffs.ndim != 1:
+            raise ValueError("big-coefficient encode supports 1-D data only")
         ints = [int(round(c)) for c in coeffs]
         resid = hm_decompose(ints, mods)
     return CkksPt(RnsPoly(jnp.asarray(resid), COEFF, ids), float(scale))
@@ -145,19 +153,23 @@ def decode(pt: CkksPt, params: CkksParams, count: Optional[int] = None) -> np.nd
     poly = pt.poly
     if poly.form != COEFF:
         raise ValueError("decode expects coeff form")
-    resid = np.asarray(poly.data)
+    resid = np.asarray(poly.data)  # [..., L, n]
     mods = ctx.moduli_of(poly.limb_ids)
     resid = resid % np.asarray(mods, np.uint32)[:, None]
     # small-coefficient fast path: all limbs agree as signed values
     q0 = mods[0]
-    signed0 = np.where(resid[0] < q0 // 2, resid[0].astype(np.int64),
-                       resid[0].astype(np.int64) - q0)
+    r0 = resid[..., 0, :]
+    signed0 = np.where(r0 < q0 // 2, r0.astype(np.int64),
+                       r0.astype(np.int64) - q0)
     agree = all(
-        np.array_equal(signed0 % q, resid[k]) for k, q in enumerate(mods)
+        np.array_equal(signed0 % q, resid[..., k, :])
+        for k, q in enumerate(mods)
     )
     if agree:
         coeffs = signed0.astype(np.float64)
     else:
+        if resid.ndim != 2:
+            raise ValueError("big-coefficient decode supports 1 ciphertext")
         from hehub_tpu.native import loader
 
         if loader.available():

@@ -168,3 +168,19 @@ def test_batched_ciphertexts():
             rns.RnsPoly(dec.data[i], rns.COEFF, dec.limb_ids), ct.scaling_factor
         )
         np.testing.assert_allclose(ckks.decode(one, params), d, atol=2**-12)
+
+
+def test_batched_encode_decode_encrypt():
+    """encode/decode vectorize over leading batch dims; a batched
+    encrypt+square round trip matches per-item results."""
+    params, ctx, sk = setup()
+    rng = np.random.default_rng(12)
+    B = 3
+    vals = rng.uniform(-1, 1, (B, N // 2))
+    pt = ckks.encode(vals, params)
+    assert pt.poly.data.shape[:-2] == (B,)
+    back = np.real(ckks.decode(pt, params))
+    np.testing.assert_allclose(back, vals, atol=1e-6)
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(77))
+    got = np.real(ckks.decode(ckks.decrypt(ctx, ct, sk), params))
+    np.testing.assert_allclose(got, vals, atol=2**-12)
