@@ -35,17 +35,25 @@ U64 = np.uint64
 
 @dataclasses.dataclass(frozen=True)
 class RlweParams:
-    """Static RLWE parameters (≙ RlweParams, rlwe.h:16-25)."""
+    """Static RLWE parameters (≙ RlweParams, rlwe.h:16-25).
+
+    `special_mod` may be a single prime (the reference's additional_mod,
+    rlwe.h:23) or a tuple of primes — multiple key-switching specials enable
+    hybrid key switching with digit grouping (alpha > 1)."""
 
     dimension: int
     moduli: Tuple[int, ...]
-    special_mod: Optional[int] = None
+    special_mod: Optional[object] = None  # int | Tuple[int, ...] | None
 
     def __post_init__(self):
         n = self.dimension
         if n & (n - 1) or n < 8:
             raise ValueError("dimension must be a power of two >= 8")
-        all_mods = self.moduli + ((self.special_mod,) if self.special_mod else ())
+        if self.special_mod is not None and not isinstance(
+            self.special_mod, (int, np.integer)
+        ):
+            object.__setattr__(self, "special_mod", tuple(self.special_mod))
+        all_mods = self.moduli + self.special_mods
         if len(set(all_mods)) != len(all_mods):
             raise ValueError("moduli must be distinct")
         for q in all_mods:
@@ -53,6 +61,14 @@ class RlweParams:
                 raise ValueError(f"modulus {q} outside the 30-bit lane range")
             if q % (2 * n) != 1 or not hm.is_prime(q):
                 raise ValueError(f"{q} is not an NTT prime for n={n}")
+
+    @property
+    def special_mods(self) -> Tuple[int, ...]:
+        if self.special_mod is None:
+            return ()
+        if isinstance(self.special_mod, (int, np.integer)):
+            return (int(self.special_mod),)
+        return tuple(self.special_mod)
 
     @property
     def log_dimension(self) -> int:
@@ -81,7 +97,7 @@ class BgvParams(RlweParams):
         super().__post_init__()
         t = self.plain_modulus
         n = self.dimension
-        if t in self.moduli or t == self.special_mod:
+        if t in self.moduli or t in self.special_mods:
             raise ValueError("plain modulus must be coprime with ct moduli")
         if t % (2 * n) != 1 or not hm.is_prime(t) or t >= (1 << 29):
             # t < 2^29 <= q_j keeps the signed plaintext lift single-select
@@ -98,6 +114,7 @@ def create_ckks_params(
     scaling_bits: int = 28,
     num_levels: Optional[int] = None,
     use_security_budget: bool = True,
+    num_special: int = 1,
 ) -> CkksParams:
     """Automatic CKKS parameter selection with 30-bit limbs.
 
@@ -112,19 +129,19 @@ def create_ckks_params(
         budget = STD_LOGQP_BUDGET.get(dimension)
         if budget is None:
             raise ValueError(f"no standard budget for dimension {dimension}")
-        num_levels = max(budget // 30 - 1, 1)
+        num_levels = max(budget // 30 - num_special, 1)
     elif use_security_budget:
         budget = STD_LOGQP_BUDGET.get(dimension)
-        if budget is not None and 30 * (num_levels + 1) > budget:
+        if budget is not None and 30 * (num_levels + num_special) > budget:
             raise ValueError(
                 f"{num_levels} levels exceed the 128-bit-security budget "
                 f"({budget} bits) for dimension {dimension}"
             )
-    primes = hm.gen_ntt_primes(30, num_levels + 1, dimension)
+    primes = hm.gen_ntt_primes(30, num_levels + num_special, dimension)
     return CkksParams(
         dimension=dimension,
-        moduli=tuple(primes[1:]),
-        special_mod=primes[0],
+        moduli=tuple(primes[num_special:]),
+        special_mod=tuple(primes[:num_special]) if num_special != 1 else primes[0],
         initial_scaling_factor=float(2.0**scaling_bits),
     )
 
@@ -133,14 +150,15 @@ def create_bgv_params(
     dimension: int,
     plain_bits: int = 17,
     num_levels: int = 3,
+    num_special: int = 1,
 ) -> BgvParams:
     """BGV parameter selection: 30-bit ciphertext primes + an NTT-prime t."""
-    primes = hm.gen_ntt_primes(30, num_levels + 1, dimension)
+    primes = hm.gen_ntt_primes(30, num_levels + num_special, dimension)
     t = hm.gen_ntt_primes(plain_bits, 1, dimension)[0]
     return BgvParams(
         dimension=dimension,
-        moduli=tuple(primes[1:]),
-        special_mod=primes[0],
+        moduli=tuple(primes[num_special:]),
+        special_mod=tuple(primes[:num_special]) if num_special != 1 else primes[0],
         plain_modulus=t,
     )
 
@@ -215,11 +233,14 @@ class Context:
     def __init__(self, params: RlweParams):
         self.params = params
         n = params.dimension
-        mods = list(params.moduli) + (
-            [params.special_mod] if params.special_mod else []
-        )
+        mods = list(params.moduli) + list(params.special_mods)
         self.mod_list: Tuple[int, ...] = tuple(mods)
-        self.special_index = len(params.moduli) if params.special_mod else None
+        n_sp = len(params.special_mods)
+        self.special_index = len(params.moduli) if n_sp else None
+        self.special_indices: Tuple[int, ...] = tuple(
+            range(len(params.moduli), len(mods))
+        )
+        self.num_special = n_sp
         tabs = [ModulusTables(q, n) for q in mods]
 
         def col(attr):  # [M, 1] for broadcasting against [..., M, n]

@@ -194,13 +194,16 @@ def relinearize(ctx, quad: BgvQuadCt, rlk: rgsw_mod.RgswCt) -> BgvCt:
     (BGV keys carry t-multiple noise)."""
     t = quad.plain_modulus
     level = quad.c2.limb_count
-    rlk_l = rlk.at_level(level, len(rlk.limb_ids) - 1)
+    rlk_l = rlk.at_level(level, ctx.num_special)
     d0, d1 = rgsw_mod.ext_prod(ctx, quad.c2, rlk_l)
     # the key-switched value is already special-prime-scaled: divide without
     # the (p mod t) plaintext-scale restore (see basecnv.div_last_rounded)
-    c0 = basecnv.div_last_rounded(ctx, d0, plain_modulus=t, restore_plain_scale=False)
-    c1 = basecnv.div_last_rounded(ctx, d1, plain_modulus=t, restore_plain_scale=False)
-    return BgvCt(rns.add(ctx, c0, quad.c0), rns.add(ctx, c1, quad.c1), t)
+    for _ in range(ctx.num_special):
+        d0 = basecnv.div_last_rounded(
+            ctx, d0, plain_modulus=t, restore_plain_scale=False)
+        d1 = basecnv.div_last_rounded(
+            ctx, d1, plain_modulus=t, restore_plain_scale=False)
+    return BgvCt(rns.add(ctx, d0, quad.c0), rns.add(ctx, d1, quad.c1), t)
 
 
 def mult(ctx, ct1: BgvCt, ct2: BgvCt, rlk: rgsw_mod.RgswCt) -> BgvCt:

@@ -265,14 +265,16 @@ def mult_low_level(ctx, ct1: CkksCt, ct2: CkksCt) -> CkksQuadCt:
 
 
 def relinearize(ctx, quad: CkksQuadCt, rlk: rgsw_mod.RgswCt) -> CkksCt:
-    """ext_prod on c2 + special-prime rescale + add (≙ arith.cpp:64-73)."""
+    """ext_prod on c2 + special-prime rescale + add (≙ arith.cpp:64-73).
+    With multiple special primes the P-division iterates over them."""
     level = quad.c2.limb_count
-    rlk_l = rlk.at_level(level, len(rlk.limb_ids) - 1)
+    rlk_l = rlk.at_level(level, ctx.num_special)
     d0, d1 = rgsw_mod.ext_prod(ctx, quad.c2, rlk_l)
-    c0 = basecnv.div_last_rounded(ctx, d0)
-    c1 = basecnv.div_last_rounded(ctx, d1)
+    for _ in range(ctx.num_special):
+        d0 = basecnv.div_last_rounded(ctx, d0)
+        d1 = basecnv.div_last_rounded(ctx, d1)
     return CkksCt(
-        rns.add(ctx, c0, quad.c0), rns.add(ctx, c1, quad.c1), quad.scaling_factor
+        rns.add(ctx, d0, quad.c0), rns.add(ctx, d1, quad.c1), quad.scaling_factor
     )
 
 
@@ -305,9 +307,12 @@ def mod_drop(ctx, ct: CkksCt, count: int = 1) -> CkksCt:
 
 def _key_switch_permuted(ctx, perm_c1: RnsPoly, ksk: rgsw_mod.RgswCt):
     level = perm_c1.limb_count
-    k = ksk.at_level(level, len(ksk.limb_ids) - 1)
+    k = ksk.at_level(level, ctx.num_special)
     d0, d1 = rgsw_mod.ext_prod(ctx, perm_c1, k)
-    return basecnv.div_last_rounded(ctx, d0), basecnv.div_last_rounded(ctx, d1)
+    for _ in range(ctx.num_special):
+        d0 = basecnv.div_last_rounded(ctx, d0)
+        d1 = basecnv.div_last_rounded(ctx, d1)
+    return d0, d1
 
 
 def conjugate(ctx, ct: CkksCt, ck: rgsw_mod.RgswCt) -> CkksCt:

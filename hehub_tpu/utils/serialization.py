@@ -41,6 +41,8 @@ def params_from_json(s: str) -> RlweParams:
     d = json.loads(s)
     cls = _PARAM_TYPES[d.pop("__type__")]
     d["moduli"] = tuple(d["moduli"])
+    if isinstance(d.get("special_mod"), list):
+        d["special_mod"] = tuple(d["special_mod"])
     return cls(**d)
 
 
@@ -57,7 +59,8 @@ def _meta(obj) -> Dict[str, Any]:
         return {"kind": "BgvCt", "t": obj.plain_modulus,
                 "form": obj.c0.form, "limb_ids": list(obj.c0.limb_ids)}
     if isinstance(obj, rgsw_mod.RgswCt):
-        return {"kind": "RgswCt", "limb_ids": list(obj.limb_ids)}
+        return {"kind": "RgswCt", "limb_ids": list(obj.limb_ids),
+                "alpha": obj.alpha}
     if isinstance(obj, rlwe_mod.RlweSk):
         return {"kind": "RlweSk"}
     from hehub_tpu.models import tfhe as tfhe_mod
@@ -115,6 +118,8 @@ def load(path_or_file):
     pd = blob["params"]
     cls = _PARAM_TYPES[pd.pop("__type__")]
     pd["moduli"] = tuple(pd["moduli"])
+    if isinstance(pd.get("special_mod"), list):
+        pd["special_mod"] = tuple(pd["special_mod"])
     params = cls(**pd)
     kind = meta["kind"]
     if kind == "RnsPoly":
@@ -139,7 +144,8 @@ def load(path_or_file):
             meta["t"],
         )
     elif kind == "RgswCt":
-        obj = rgsw_mod.RgswCt(z["data"], tuple(meta["limb_ids"]))
+        obj = rgsw_mod.RgswCt(z["data"], tuple(meta["limb_ids"]),
+                              meta.get("alpha", 1))
     elif kind == "RlweSk":
         obj = rlwe_mod.RlweSk(z["coeffs"], z["ntt"], z["ntt_sh"])
     elif kind == "TfheKeys":
