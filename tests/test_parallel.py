@@ -117,3 +117,32 @@ def test_batch_sharded_keygen_independent(setup):
     prod = ckks.rescale(ctx, ckks.mult(ctx, ct_sharded, ct_sharded, rlk))
     got = ckks.decode(ckks.decrypt(ctx, prod, sk), params)
     np.testing.assert_allclose(np.real(got), vals * vals, atol=2e-4)
+
+
+@pytest.mark.parametrize("D", [2, 4, 8])
+def test_intra_transform_sharded_ntt(D):
+    """One polynomial's butterflies spread across D devices (ppermute
+    cross-stages + local stages) == the single-device kernel, bitwise."""
+    from hehub_tpu.core.context import RlweParams
+    from hehub_tpu.parallel import ntt_sharded
+    from hehub_tpu.utils import hostmath as hm
+
+    n = 2048
+    primes = hm.gen_ntt_primes(30, 2, n)
+    ctx = make_context(RlweParams(dimension=n, moduli=tuple(primes)))
+    ids = (0, 1)
+    qs = np.asarray(ctx.moduli_of(ids), np.uint32)[:, None]
+    rng = np.random.default_rng(D)
+    x = rng.integers(0, 1 << 31, (2, 2, n)).astype(np.uint32) % (2 * qs)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:D]), ("seq",))
+    shard = NamedSharding(mesh, P(None, None, "seq"))
+    xd = jax.device_put(x, shard)
+    fwd = jax.jit(ntt_sharded.make_sharded_ntt(ctx, ids, mesh, "seq"))
+    inv = jax.jit(ntt_sharded.make_sharded_ntt(ctx, ids, mesh, "seq",
+                                               inverse=True))
+    got_f = np.asarray(fwd(xd))
+    ref_f = np.asarray(nttmod.ntt(ctx, x, ids))
+    np.testing.assert_array_equal(got_f, ref_f)
+    got_i = np.asarray(inv(jax.device_put(got_f, shard)))
+    ref_i = np.asarray(nttmod.intt(ctx, ref_f, ids))
+    np.testing.assert_array_equal(got_i, ref_i)
