@@ -27,7 +27,8 @@ from hehub_tpu.ops.pallas import ntt_pallas as ntp
 def _kernel(n, bb, l, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref,
             dig_ref, key_ref, o_ref):
     """Grid (L_ext, R/bb). Blocks:
-    th/tt: per-j twiddles; scal [1,1,8] SMEM (q, two_q, neg_qinv of limb j);
+    th/tt: per-j full-width twiddles (head [1, s_head, n], tail
+    [1, s_tail, B, G]); scal [1,1,8] SMEM (q, two_q, neg_qinv of limb j);
     dig [bb, l, n] strict coeff digits;
     key [1, l, 2, n] Montgomery-domain key column j; out [1, bb, 2, n]."""
     q = scal_ref[0, 0, 0]
@@ -64,11 +65,11 @@ def make_ext_prod(ctx, ids: Tuple[int, ...], ids_ext: Tuple[int, ...],
     n = ctx.params.dimension
     l = len(ids)
     L_ext = len(ids_ext)
-    s_tail = ntp._n_tail(n)
     logn = n.bit_length() - 1
-    s_head = logn - s_tail
     G = n // ntp.B
-    th, th_sh, tt, tt_sh = ntp._expanded_tables(ctx, ids_ext, False)
+    s_tail = ntp._n_tail(n)
+    s_head = logn - s_tail
+    th, th_sh, tt, tt_sh = ntp._full_tables(ctx, ids_ext, False)
     scal = np.zeros((L_ext, 1, 8), np.uint32)
     scal[:, 0, 0] = ctx.rows("q", ids_ext)[:, 0]
     scal[:, 0, 1] = ctx.rows("two_q", ids_ext)[:, 0]
@@ -87,10 +88,10 @@ def make_ext_prod(ctx, ids: Tuple[int, ...], ids_ext: Tuple[int, ...],
             body,
             grid=(L_ext, Rp // bb),
             in_specs=[
-                pl.BlockSpec((1, s_head, n // 2), lambda j, r: (j, 0, 0)),
-                pl.BlockSpec((1, s_head, n // 2), lambda j, r: (j, 0, 0)),
-                pl.BlockSpec((1, s_tail, ntp.B // 2, G), lambda j, r: (j, 0, 0, 0)),
-                pl.BlockSpec((1, s_tail, ntp.B // 2, G), lambda j, r: (j, 0, 0, 0)),
+                pl.BlockSpec((1, s_head, n), lambda j, r: (j, 0, 0)),
+                pl.BlockSpec((1, s_head, n), lambda j, r: (j, 0, 0)),
+                pl.BlockSpec((1, s_tail, ntp.B, G), lambda j, r: (j, 0, 0, 0)),
+                pl.BlockSpec((1, s_tail, ntp.B, G), lambda j, r: (j, 0, 0, 0)),
                 pl.BlockSpec((1, 1, 8), lambda j, r: (j, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((bb, l, n), lambda j, r: (r, 0, 0)),

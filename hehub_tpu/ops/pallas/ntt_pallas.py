@@ -2,20 +2,23 @@
 
 The XLA stage-chain implementation (ops/ntt.py) makes one HBM round trip per
 butterfly stage (log2 n passes). This kernel keeps a block of polynomial rows
-resident in VMEM for the whole transform — one HBM read, one write, the
-memory-bound speed-of-light — with all butterflies on the VPU.
+resident in VMEM for the whole transform — one HBM read, one write — with all
+butterflies on the VPU.
 
-Layout: a row of length n is processed as [G, B] with B = 128 lanes. Stages
-with gap >= B run in natural layout (minor-axis splits keep the lane axis a
-multiple of B >= 128, the only minor-axis reshape Mosaic supports); stages
-with gap < B run after one in-VMEM transpose to [B, G], where every further
-reshape is a pure sublane split with the minor axis fixed at G.
+Butterflies are expressed with `pltpu.roll` + masked selects instead of
+reshape/slice/concat: every stage reads the partner element via a cyclic
+sublane roll of the whole tile and blends lo/hi outputs with an iota mask.
+This does the twiddle multiply at every position (2x the arithmetic of the
+half-width formulation) but eliminates ALL per-stage relayouts, which
+dominate on Mosaic — measured 6x faster for the inverse and ~2x for the
+forward at n=16384 versus the reshape/concat formulation.
 
-Twiddles are host-expanded per element and per stage, in exactly the geometry
-the kernel consumes: head stages as [L, S_head, n/2] rows (minor split only),
-tail stages as [L, S_tail, B/2, G] blocks (sublane split only) — Mosaic never
-sees a lane-axis relayout. Their grid block index depends only on the limb
-axis, so Pallas DMAs them once per limb and reuses them across row blocks.
+Layout: a row of length n is the [G, B] matrix (G = n/128 sublanes, B = 128
+lanes). Stages with gap >= B pair rows along the G (sublane) axis in natural
+layout; stages with gap < B run after one in-VMEM transpose to [B, G],
+pairing along the B (sublane) axis. Twiddle tables are host-expanded
+full-width per element and per stage — natural order for head stages,
+transposed order for tail stages — so the kernel never transposes a table.
 
 Same math and same value ordering as ops/ntt.py; outputs are bitwise equal
 (tests/test_pallas.py).
@@ -48,12 +51,13 @@ def _n_tail(n: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _expanded_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
-    """Per-element twiddles in kernel geometry, host numpy.
+    """Half-width per-element twiddles (hi elements only), host numpy.
 
     Returns (head [L, S_head, n/2], head_sh, tail [L, S_tail, B/2, G],
     tail_sh). Stage axis order matches kernel traversal: forward = natural
     stage order (head s=0.., tail continuing); inverse = tail first.
-    """
+    Consumed by parallel/ntt_sharded.py (and as the source for the
+    full-width kernel tables below)."""
     n = ctx.params.dimension
     logn = n.bit_length() - 1
     G = n // B
@@ -90,53 +94,94 @@ def _expanded_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
     return head, head_sh, tail, tail_sh
 
 
-def _butterfly_fwd(lo, hi, w, w_sh, q, two_q):
-    wh = ma.shoup_mul_lazy(hi, w, w_sh, q)
-    return ma.add_lazy(lo, wh, two_q), ma.sub_lazy(lo, wh, two_q)
+@functools.lru_cache(maxsize=None)
+def _full_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
+    """Full-width per-element kernel tables (+ Shoup): the stage twiddle at
+    every HI position, zero at LO positions.
 
-
-def fwd_stage_chain(x, th_ref, th_sh_ref, tt_ref, tt_sh_ref, q, two_q,
-                    n: int, bb: int):
-    """The full forward butterfly chain on a VMEM-resident [bb, n] tile.
-
-    Every stage is a SUBLANE split with the lane axis fixed at width B:
-    head stages (gap t >= B) view the row as [G, B] — elements pairing at
-    gap t differ only in the sublane coordinate g (t/B rows apart) — and
-    tail stages run after one transpose to [B, G]. Lane-axis reshapes per
-    stage (the naive natural-layout formulation) make Mosaic emit a full
-    cross-lane relayout per stage and run ~3x slower.
-
-    th_ref/tt_ref are the kernel REFS for the twiddle blocks ([1, s_head,
-    n/2] and [1, s_tail, B/2, G]) — per-stage rows must be read straight
-    from the ref (th_ref[0, s]); slicing a materialized value instead
-    produces a layout Mosaic cannot shape-cast. Shared by the standalone
-    NTT kernel and the fused external-product kernel."""
+    head_full [L, s_head, n]      — flat in natural [G, B] order
+    tail_full [L, s_tail, B, G]   — host-shaped 2-D per stage (transposed
+                                    layout), so the kernel NEVER reshapes a
+                                    flat row to a small minor axis."""
+    n = ctx.params.dimension
     logn = n.bit_length() - 1
     G = n // B
     s_tail = _n_tail(n)
     s_head = logn - s_tail
+    head, head_sh, tail, tail_sh = _expanded_tables(ctx, limb_ids, inverse)
+    L = len(limb_ids)
+    head_full = np.zeros((L, max(s_head, 1), n), np.uint32)
+    head_full_sh = np.zeros_like(head_full)
+    tail_full = np.zeros((L, max(s_tail, 1), B, G), np.uint32)
+    tail_full_sh = np.zeros_like(tail_full)
+    for s in range(logn):
+        t = (1 << s) if inverse else (n >> (s + 1))
+        if t >= B:  # head: natural order, hi half of each block
+            row = (s - s_tail) if inverse else s
+            hrow = row if not inverse else row  # head row index
+            blocks = n // (2 * t)
+            f = head_full[:, hrow].reshape(L, blocks, 2, t)
+            fs = head_full_sh[:, hrow].reshape(L, blocks, 2, t)
+            f[:, :, 1] = head[:, row].reshape(L, blocks, t)
+            fs[:, :, 1] = head_sh[:, row].reshape(L, blocks, t)
+        else:  # tail: transposed [B, G] layout, hi rows of each p-block
+            row = s if inverse else s - s_head
+            U = B // (2 * t)
+            tl = tail[:, row].reshape(L, U, t, G)
+            tls = tail_sh[:, row].reshape(L, U, t, G)
+            f = tail_full[:, row].reshape(L, U, 2, t, G)
+            fs = tail_full_sh[:, row].reshape(L, U, 2, t, G)
+            f[:, :, 1] = tl
+            fs[:, :, 1] = tls
+    for a in (head_full, head_full_sh, tail_full, tail_full_sh):
+        a.setflags(write=False)
+    return head_full, head_full_sh, tail_full, tail_full_sh
+
+
+def fwd_stage_chain(x, th_ref, th_sh_ref, tt_ref, tt_sh_ref, q, two_q,
+                    n: int, bb: int):
+    """The full forward butterfly chain on a VMEM-resident [bb, n] tile,
+    roll-based. th_ref: [1, s_head, n] head tables (natural order);
+    tt_ref: [1, s_tail, B, G] tail tables (host-shaped 2-D per stage).
+    Rows are read straight from the refs. Shared by the standalone NTT
+    kernel and the fused external-product kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    logn = n.bit_length() - 1
+    G = n // B
+    s_tail = _n_tail(n)
+    s_head = logn - s_tail
+    logb = B.bit_length() - 1
     x = x.reshape(bb, G, B)
-    for s in range(s_head):  # head: gap t >= B, [G, B] view, split G
-        m = 1 << s
-        tb = n >> (s + 1 + B.bit_length() - 1)  # t/B rows per half-block
-        w = th_ref[0, s].reshape(m, 1, tb, B)
-        w_sh = th_sh_ref[0, s].reshape(m, 1, tb, B)
-        xm = x.reshape(bb, m, 2, tb, B)
-        t_lo, t_hi = _butterfly_fwd(
-            xm[:, :, 0:1, :, :], xm[:, :, 1:2, :, :], w, w_sh, q, two_q
-        )
-        x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, G, B)
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
+    for s in range(s_head):  # head: gap t >= B, pair along G (sublanes)
+        t = n >> (s + 1)
+        tg = t >> logb
+        sbit = tg.bit_length() - 1
+        w = th_ref[0, s].reshape(G, B)
+        w_sh = th_sh_ref[0, s].reshape(G, B)
+        wh = ma.shoup_mul_lazy(x, w, w_sh, q)  # meaningful at hi rows
+        down_wh = pltpu.roll(wh, G - tg, 1)    # wh[g+tg]
+        up_x = pltpu.roll(x, tg, 1)            # x[g-tg]
+        is_hi = ((g_ids >> sbit) & 1) == 1
+        lo_out = ma.add_lazy(x, down_wh, two_q)
+        hi_out = ma.sub_lazy(up_x, wh, two_q)
+        x = jnp.where(is_hi, hi_out, lo_out)
     x = jnp.swapaxes(x, -1, -2)  # [bb, B, G]
-    for si in range(s_tail):  # tail: gap t < B, transposed layout
-        t = n >> (s_head + si + 1)
-        U = B // (2 * t)
-        w = tt_ref[0, si].reshape(U, 1, t, G)
-        w_sh = tt_sh_ref[0, si].reshape(U, 1, t, G)
-        xm = x.reshape(bb, U, 2, t, G)
-        t_lo, t_hi = _butterfly_fwd(
-            xm[:, :, 0:1, :, :], xm[:, :, 1:2, :, :], w, w_sh, q, two_q
-        )
-        x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, B, G)
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
+    for si in range(s_tail):  # tail: gap t < B, pair along B (sublanes)
+        s = s_head + si
+        t = n >> (s + 1)
+        sbit = t.bit_length() - 1
+        w = tt_ref[0, si]
+        w_sh = tt_sh_ref[0, si]
+        wh = ma.shoup_mul_lazy(x, w, w_sh, q)
+        down_wh = pltpu.roll(wh, B - t, 1)
+        up_x = pltpu.roll(x, t, 1)
+        is_hi = ((p_ids >> sbit) & 1) == 1
+        lo_out = ma.add_lazy(x, down_wh, two_q)
+        hi_out = ma.sub_lazy(up_x, wh, two_q)
+        x = jnp.where(is_hi, hi_out, lo_out)
     x = jnp.swapaxes(x, -1, -2)
     return x.reshape(bb, n)
 
@@ -145,50 +190,50 @@ def _fwd_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_
     q = scal_ref[0, 0, 0]
     two_q = scal_ref[0, 0, 1]
     o_ref[0] = fwd_stage_chain(
-        x_ref[0], th_ref, th_sh_ref, tt_ref, tt_sh_ref, q, two_q, n, bb,
+        x_ref[0], th_ref, th_sh_ref, tt_ref, tt_sh_ref, q, two_q, n, bb
     )
 
 
 def _inv_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
     logn = n.bit_length() - 1
     s_tail = _n_tail(n)
     G = n // B
+    logb = B.bit_length() - 1
     q = scal_ref[0, 0, 0]
     two_q = scal_ref[0, 0, 1]
     n_inv = scal_ref[0, 0, 2]
     n_inv_sh = scal_ref[0, 0, 3]
     x = x_ref[0].reshape(bb, G, B)
     x = jnp.swapaxes(x, -1, -2)  # [bb, B, G]: tail (small gaps) first
-    for si in range(s_tail):
-        t = 1 << si
-        U = B // (2 * t)
-        w = tt_ref[0, si].reshape(U, 1, t, G)
-        w_sh = tt_sh_ref[0, si].reshape(U, 1, t, G)
-        xm = x.reshape(bb, U, 2, t, G)
-        lo, hi = xm[:, :, 0:1, :, :], xm[:, :, 1:2, :, :]
-        t_lo = ma.add_lazy(lo, hi, two_q)
-        t_hi = ma.shoup_mul_lazy(lo + two_q - hi, w, w_sh, q)
-        x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, B, G)
-    x = jnp.swapaxes(x, -1, -2).reshape(bb, n)
-    # NOTE: the inverse head runs in the natural minor-split layout — the
-    # [G, B] sublane view that speeds the FORWARD head up by 20% makes the
-    # inverse 25% slower (measured; the inverse's small-gap-first traversal
-    # hits Mosaic's adjacent-sublane interleave worst case).
-    for s in range(s_tail, logn):  # head
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
+    for s in range(s_tail):
         t = 1 << s
-        h = n >> (s + 1)
-        w = th_ref[0, s - s_tail].reshape(h, 1, t)
-        w_sh = th_sh_ref[0, s - s_tail].reshape(h, 1, t)
-        xm = x.reshape(bb, h, 2, t)
-        lo, hi = xm[:, :, 0:1, :], xm[:, :, 1:2, :]
-        diff = lo + two_q - hi
+        w = tt_ref[0, s]
+        w_sh = tt_sh_ref[0, s]
+        down = pltpu.roll(x, B - t, 1)  # x[p+t]
+        up = pltpu.roll(x, t, 1)        # x[p-t]
+        is_hi = ((p_ids >> s) & 1) == 1
+        lo_out = ma.add_lazy(x, down, two_q)
+        hi_out = ma.shoup_mul_lazy(up + two_q - x, w, w_sh, q)
+        x = jnp.where(is_hi, hi_out, lo_out)
+    x = jnp.swapaxes(x, -1, -2)  # [bb, G, B]
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
+    for s in range(s_tail, logn):
+        tg = 1 << (s - logb)
+        w = th_ref[0, s - s_tail].reshape(G, B)
+        w_sh = th_sh_ref[0, s - s_tail].reshape(G, B)
+        down = pltpu.roll(x, G - tg, 1)
+        up = pltpu.roll(x, tg, 1)
+        is_hi = ((g_ids >> (s - logb)) & 1) == 1
         if s == logn - 1:
-            t_lo = ma.shoup_mul_lazy(lo + hi, n_inv, n_inv_sh, q)
+            lo_out = ma.shoup_mul_lazy(x + down, n_inv, n_inv_sh, q)
         else:
-            t_lo = ma.add_lazy(lo, hi, two_q)
-        t_hi = ma.shoup_mul_lazy(diff, w, w_sh, q)
-        x = jnp.concatenate([t_lo, t_hi], axis=2).reshape(bb, n)
-    o_ref[0] = x
+            lo_out = ma.add_lazy(x, down, two_q)
+        hi_out = ma.shoup_mul_lazy(up + two_q - x, w, w_sh, q)
+        x = jnp.where(is_hi, hi_out, lo_out)
+    o_ref[0] = x.reshape(bb, n)
 
 
 def make_ntt(ctx, limb_ids: Tuple[int, ...], inverse: bool, interpret: bool = False):
@@ -203,7 +248,7 @@ def make_ntt(ctx, limb_ids: Tuple[int, ...], inverse: bool, interpret: bool = Fa
     G = n // B
     s_tail = _n_tail(n)
     s_head = logn - s_tail
-    th, th_sh, tt, tt_sh = _expanded_tables(ctx, limb_ids, inverse)
+    th, th_sh, tt, tt_sh = _full_tables(ctx, limb_ids, inverse)
     scal = np.zeros((L, 1, 8), np.uint32)
     scal[:, 0, 0] = ctx.rows("q", limb_ids)[:, 0]
     scal[:, 0, 1] = ctx.rows("two_q", limb_ids)[:, 0]
@@ -230,10 +275,10 @@ def make_ntt(ctx, limb_ids: Tuple[int, ...], inverse: bool, interpret: bool = Fa
             body,
             grid=(L, Rp // bb),
             in_specs=[
-                pl.BlockSpec((1, s_head, n // 2), lambda l, r: (l, 0, 0)),
-                pl.BlockSpec((1, s_head, n // 2), lambda l, r: (l, 0, 0)),
-                pl.BlockSpec((1, s_tail, B // 2, G), lambda l, r: (l, 0, 0, 0)),
-                pl.BlockSpec((1, s_tail, B // 2, G), lambda l, r: (l, 0, 0, 0)),
+                pl.BlockSpec((1, s_head, n), lambda l, r: (l, 0, 0)),
+                pl.BlockSpec((1, s_head, n), lambda l, r: (l, 0, 0)),
+                pl.BlockSpec((1, s_tail, B, G), lambda l, r: (l, 0, 0, 0)),
+                pl.BlockSpec((1, s_tail, B, G), lambda l, r: (l, 0, 0, 0)),
                 pl.BlockSpec((1, 1, 8), lambda l, r: (l, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, bb, n), lambda l, r: (l, r, 0)),
             ],
