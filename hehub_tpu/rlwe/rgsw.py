@@ -188,6 +188,27 @@ def ext_prod(ctx: Context, poly: RnsPoly, rgsw: RgswCt) -> rlwe_mod.RlweCt:
             conv = basecnv.base_convert(ctx, grp_poly, ids_ext, signed=True)
             digit_list.append(conv.data)
         tiled = jnp.stack(digit_list, axis=-3)  # [..., D, L_ext, n]
+        if config.pallas_enabled() and n >= 1024:
+            # fused kernel on the pre-converted digits (bitwise equal to the
+            # XLA path below)
+            from hehub_tpu.ops.pallas import extprod_pallas
+
+            Dg = len(groups)
+            batch_shape = tiled.shape[:-3]
+            digits = jnp.transpose(
+                tiled.reshape(-1, Dg, len(ids_ext), n), (2, 0, 1, 3)
+            )  # [L_ext, R, D, n]
+            key_t = jnp.transpose(rgsw.data[:Dg], (2, 0, 1, 3))
+            out = extprod_pallas.make_ext_prod_converted(ctx, Dg, ids_ext)(
+                digits, key_t
+            )
+            halves = []
+            for half in range(2):
+                h = jnp.transpose(out[:, :, half], (1, 0, 2))
+                halves.append(
+                    RnsPoly(h.reshape(*batch_shape, len(ids_ext), n), NTT, ids_ext)
+                )
+            return rlwe_mod.RlweCt(halves[0], halves[1])
         D = nttmod.ntt(ctx, tiled, ids_ext)
 
     q = ctx.rows("q", ids_ext)

@@ -79,3 +79,49 @@ def test_pallas_ext_prod_bitwise_equal():
             2, 4, n
         )
         np.testing.assert_array_equal(got, np.asarray(ref.data))
+
+
+def test_pallas_ext_prod_converted_bitwise_equal():
+    """Fused alpha=2 kernel (pre-converted digits) == XLA path, bitwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from hehub_tpu.core import basecnv
+    from hehub_tpu.core import rns as rns_mod
+    from hehub_tpu.ops.pallas import extprod_pallas
+    from hehub_tpu.rlwe import keys as keys_mod
+    from hehub_tpu.rlwe import rlwe as rlwe_mod
+    from hehub_tpu.rlwe import rgsw as rgsw_mod
+
+    n = 1024
+    primes = hm.gen_ntt_primes(30, 6, n)
+    ctx = make_context(
+        RlweParams(dimension=n, moduli=primes[2:], special_mod=tuple(primes[:2]))
+    )
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0))
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1), alpha=2)
+    ids = (0, 1, 2, 3)
+    ids_ext = rlk.limb_ids
+    qs = np.asarray(ctx.moduli_of(ids), np.uint32)[:, None]
+    x = RNG.integers(0, 1 << 31, (2, 4, n)).astype(np.uint32) % (2 * qs)
+    poly = rns_mod.RnsPoly(x, rns_mod.NTT, ids)
+
+    want = rgsw_mod.ext_prod(ctx, poly, rlk)  # XLA path (CPU)
+
+    d = rns_mod.reduce_strict(ctx, rns_mod.to_coeff(ctx, poly))
+    convs = []
+    for grp in ((0, 1), (2, 3)):
+        gp = rns_mod.take_limbs(d, grp)
+        convs.append(basecnv.base_convert(ctx, gp, ids_ext, signed=True).data)
+    digits = jnp.transpose(
+        jnp.stack(convs, axis=-3).reshape(-1, 2, len(ids_ext), n), (2, 0, 1, 3)
+    )
+    key_t = jnp.transpose(rlk.data[:2], (2, 0, 1, 3))
+    out = extprod_pallas.make_ext_prod_converted(
+        ctx, 2, ids_ext, interpret=True
+    )(digits, key_t)
+    for half, ref in ((0, want.c0), (1, want.c1)):
+        got = np.asarray(jnp.transpose(out[:, :, half], (1, 0, 2))).reshape(
+            2, len(ids_ext), n
+        )
+        np.testing.assert_array_equal(got, np.asarray(ref.data))
