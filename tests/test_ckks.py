@@ -184,3 +184,19 @@ def test_batched_encode_decode_encrypt():
     ct = ckks.encrypt(ctx, pt, sk, jax.random.key(77))
     got = np.real(ckks.decode(ckks.decrypt(ctx, ct, sk), params))
     np.testing.assert_allclose(got, vals, atol=2**-12)
+
+
+def test_batched_rotate_and_conjugate():
+    """Galois ops broadcast over leading batch dims (gathers + ext_prod are
+    batch-transparent)."""
+    params, ctx, sk = setup()
+    rng = np.random.default_rng(13)
+    vals = rng.uniform(-1, 1, (3, N // 2))
+    ct = ckks.encrypt(ctx, ckks.encode(vals, params), sk, jax.random.key(20))
+    rk = keys_mod.rot_key(ctx, sk, 5, jax.random.key(21))
+    got = np.real(ckks.decode(
+        ckks.decrypt(ctx, ckks.rotate(ctx, ct, rk, 5), sk), params))
+    np.testing.assert_allclose(got, np.roll(vals, 5, axis=-1), atol=2e-4)
+    ck = keys_mod.conj_key(ctx, sk, jax.random.key(22))
+    got = ckks.decode(ckks.decrypt(ctx, ckks.conjugate(ctx, ct, ck), sk), params)
+    np.testing.assert_allclose(got, np.conj(vals), atol=2e-4)
