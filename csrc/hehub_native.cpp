@@ -57,6 +57,21 @@ int hh_is_prime_u64(u64 n) {
     return 1;
 }
 
+// Signed-int64 residue decomposition: coeffs [count] i64 -> residues
+// [L, count] u32 (strict). The hot half of the CKKS encoder's host work.
+void hh_decompose_i64(const int64_t* coeffs, long long count,
+                      const u64* mods, int L, u32* out) {
+    for (int l = 0; l < L; ++l) {
+        const int64_t q = (int64_t)mods[l];
+        u32* row = out + (size_t)l * count;
+        for (long long i = 0; i < count; ++i) {
+            int64_t r = coeffs[i] % q;
+            if (r < 0) r += q;
+            row[i] = (u32)r;
+        }
+    }
+}
+
 // Find `count` NTT primes q ≡ 1 (mod 2n), 2^(bits-1) <= q < 2^bits, searching
 // downward. Returns number found.
 int hh_gen_ntt_primes(int bits, int count, u64 n, u64* out) {

@@ -126,10 +126,15 @@ def encode(
     mods = ctx.moduli_of(ids)
     if np.abs(coeffs).max(initial=0.0) < 2**52:
         ints = np.rint(coeffs).astype(np.int64)
-        qs = np.asarray(mods, np.int64).reshape(
-            (len(mods),) + (1,) * ints.ndim
-        )
-        resid = np.moveaxis(ints[None] % qs, 0, -2).astype(np.uint32)
+        from hehub_tpu.native import loader
+
+        if loader.available():
+            resid = loader.decompose_i64(ints, mods)
+        else:
+            qs = np.asarray(mods, np.int64).reshape(
+                (len(mods),) + (1,) * ints.ndim
+            )
+            resid = np.moveaxis(ints[None] % qs, 0, -2).astype(np.uint32)
     else:  # big-coefficient path, exact via Python ints (≙ basics.cpp:226-254)
         if coeffs.ndim != 1:
             raise ValueError("big-coefficient encode supports 1-D data only")

@@ -48,8 +48,12 @@ def _lib():
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.hh_is_prime_u64.argtypes = [ctypes.c_uint64]
     lib.hh_is_prime_u64.restype = ctypes.c_int
+    lib.hh_decompose_i64.argtypes = [
+        i64p, ctypes.c_longlong, u64p, ctypes.c_int, u32p]
+    lib.hh_decompose_i64.restype = None
     lib.hh_gen_ntt_primes.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64, u64p]
     lib.hh_gen_ntt_primes.restype = ctypes.c_int
@@ -87,6 +91,16 @@ def compose_double(residues: np.ndarray, moduli) -> np.ndarray:
     out = np.empty(n, np.float64)
     lib.hh_compose_double(res, np.asarray(moduli, np.uint64), L, n, out)
     return out
+
+
+def decompose_i64(coeffs: np.ndarray, moduli) -> np.ndarray:
+    """Signed int64 coefficients [..., n] -> strict residues [..., L, n]."""
+    lib = _lib()
+    flat = np.ascontiguousarray(coeffs, dtype=np.int64).reshape(-1)
+    mods = np.asarray(list(moduli), np.uint64)
+    out = np.empty((len(mods), flat.size), np.uint32)
+    lib.hh_decompose_i64(flat, flat.size, mods, len(mods), out)
+    return np.moveaxis(out.reshape(len(mods), *coeffs.shape), 0, -2)
 
 
 def is_prime(n: int) -> bool:
