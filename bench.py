@@ -231,7 +231,37 @@ def main():
     _err(f"[bench] CKKS encode+encrypt n={n}: {t_ee*1e3:.2f} ms "
          f"(host encode {t_encode*1e3:.2f} + device {t_encrypt*1e3:.2f})")
 
+    # ---- TFHE bootstrapped gate throughput (batched blind rotation) ----------
+    from hehub_tpu.models import tfhe
+
+    tparams = tfhe.TfheParams(
+        rlwe_dimension=1024 if not small else 512,
+        lwe_dimension=256 if not small else 64,
+    )
+    tkeys = tfhe.keygen(tparams, jax.random.key(9))
+    gate_batch = 64 if not small else 8
+    bits = rng.integers(0, 2, (2, gate_batch)).astype(np.uint32)
+    ct1 = tfhe.lwe_encrypt(tparams, tfhe.encode_bit(tparams, bits[0]),
+                           tkeys.lwe_s, jax.random.key(10))
+    ct2 = tfhe.lwe_encrypt(tparams, tfhe.encode_bit(tparams, bits[1]),
+                           tkeys.lwe_s, jax.random.key(11))
+
+    @jax.jit
+    def nand_batch(a1, b1, a2, b2):
+        out = tfhe.nand_gate(tparams, tfhe.LweCt(a1, b1), tfhe.LweCt(a2, b2),
+                             tkeys)
+        return out.a, out.b
+
+    t_gate = _timeit(nand_batch, (ct1.a, ct1.b, ct2.a, ct2.b), iters=2)
+    gates_per_sec = gate_batch / t_gate
+    _err(
+        f"[bench] TFHE bootstrapped NAND (N={tparams.rlwe_dimension}, "
+        f"m={tparams.lwe_dimension}): {t_gate*1e3/gate_batch:.2f} ms/gate "
+        f"({gates_per_sec:.0f} gates/s batched x{gate_batch})"
+    )
+
     extra = {
+        "tfhe_gates_per_sec": gates_per_sec,
         "ntt_fwd_us_per_transform": t_fwd * 1e6 / (batch * L),
         "intt_us_per_transform": t_inv * 1e6 / (batch * L),
         "intt_per_sec": intt_per_sec,
@@ -253,7 +283,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "ntt_fwd_n16384_transforms_per_sec",
+                "metric": f"ntt_fwd_n{n}_transforms_per_sec",
                 "value": round(ntt_per_sec, 1),
                 "unit": "transforms/s",
                 "vs_baseline": round(ntt_per_sec / baseline_ntt_per_sec, 2),
