@@ -47,8 +47,15 @@ def bench_ntt(ctx, params, batch, ids):
     data = jax.device_put(
         rng.integers(0, 1 << 31, (batch, L, n)).astype(np.uint32) % (2 * qs)
     )
-    fwd = jax.jit(lambda x: nttmod.ntt(ctx, x, ids))
-    inv = jax.jit(lambda x: nttmod.intt(ctx, x, ids))
+
+    def ntt_fwd_bench(x):
+        return nttmod.ntt(ctx, x, ids)
+
+    def ntt_inv_bench(x):
+        return nttmod.intt(ctx, x, ids)
+
+    fwd = jax.jit(ntt_fwd_bench)
+    inv = jax.jit(ntt_inv_bench)
     t_fwd = _timeit(fwd, (data,))
     t_inv = _timeit(inv, (data,))
     rl = profiling.ntt_roofline(t_fwd, n, batch * L)
@@ -160,12 +167,13 @@ def main():
     )
 
     # ---- raw modmul roofline ------------------------------------------------
-    mm = jax.jit(
-        lambda a, b: ma.mul_mod_lazy(
+    def modmul_bench(a, b):
+        return ma.mul_mod_lazy(
             a, b, ctx.rows("q", ids), ctx.rows("neg_qinv", ids),
             ctx.rows("r_mod_q", ids), ctx.rows("r_shoup", ids),
         )
-    )
+
+    mm = jax.jit(modmul_bench)
     data2 = jax.device_put(
         rng.integers(0, 1 << 31, (batch, L, n)).astype(np.uint32) % (2 * qs)
     )
@@ -279,11 +287,16 @@ def main():
     if os.environ.get("BENCH_TABLE") == "1":
         full_table()
 
-    baseline_ntt_per_sec = 1e6 / 142.0  # README.md:76, N=16384 forward
+    # Reference forward-NTT times per N (/root/reference/README.md:70-77),
+    # so BENCH_SMALL's n=2048 run still reports a meaningful ratio while the
+    # metric key stays stable across modes.
+    baseline_ntt_us = {1024: 7, 2048: 14, 4096: 30, 8192: 68, 16384: 142,
+                       32768: 330}
+    baseline_ntt_per_sec = 1e6 / baseline_ntt_us[n]
     print(
         json.dumps(
             {
-                "metric": f"ntt_fwd_n{n}_transforms_per_sec",
+                "metric": "ntt_fwd_transforms_per_sec",
                 "value": round(ntt_per_sec, 1),
                 "unit": "transforms/s",
                 "vs_baseline": round(ntt_per_sec / baseline_ntt_per_sec, 2),

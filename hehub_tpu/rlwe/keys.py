@@ -5,8 +5,8 @@ A key-switching key from source key s' to key s is the RGSW encryption of s'
 under s over the RNS base extended by the special prime(s) P = ∏ p_j, with
 digit basis B_g — the hybrid/GHS approach. With digit grouping `alpha`
 (limbs per digit), B_g is the integer ≡ P (mod every q_j of group g), ≡ 0
-(mod the other q_j and mod P): B_g = P·(Q/Q_g)·[(Q/Q_g)^{-1} mod Q_g].
-alpha=1 reproduces the reference's per-limb basis (p mod q_i)·e_i
+(mod the other q_j and mod P); only its residues over the extended base are
+ever needed. alpha=1 reproduces the reference's per-limb basis (p mod q_i)·e_i
 (keys.cpp:26-34). The source-key transforms (s², cycled s, conjugated s)
 are pure host-side numpy on the key's NTT values, since keys are host
 material.
@@ -43,10 +43,8 @@ def _basis_rows(ctx: Context, alpha: int) -> List[List[int]]:
     rows = []
     for g0 in range(0, l, alpha):
         grp = list(range(g0, min(g0 + alpha, l)))
-        Qg = 1
-        for i in grp:
-            Qg *= int(mods[i])
-        # B_g ≡ P mod q_j (j in group), 0 mod others and mod P
+        # B_g ≡ P mod q_j (j in group), 0 mod others and mod P; only the
+        # residues matter, so rows carry P mod q_j on the group columns
         row = []
         for j, m in enumerate(ext_mods):
             if j in grp:

@@ -36,7 +36,9 @@ def time_op(fn: Callable, args: tuple, warmup: int = 2, iters: int = 10) -> floa
     return (time.perf_counter() - t0) / iters
 
 
-def device_time(fn: Callable, args: tuple, iters: int = 4) -> float:
+def device_time(
+    fn: Callable, args: tuple, iters: int = 4, name: Optional[str] = None
+) -> float:
     """TRUE device seconds per call, from a jax.profiler trace.
 
     Wall clocks lie on remote-tunnel backends: block_until_ready can return
@@ -44,12 +46,22 @@ def device_time(fn: Callable, args: tuple, iters: int = 4) -> float:
     latency. The profiler's device timeline is the only honest measurement
     there, so this captures a trace around `iters` calls and sums the
     device-side `jit_*` executable durations. Falls back to wall clock when
-    no device events appear (CPU backend)."""
-    import collections
+    no device events appear (CPU backend).
+
+    `name`: restrict the sum to events named `jit_<name>*` so concurrent jit
+    work on the same device cannot pollute the measurement. Defaults to the
+    wrapped function's own name when discoverable (jax.jit of a named
+    function); pass explicitly for lambdas."""
     import glob
     import gzip
     import json
     import tempfile
+
+    if name is None:
+        cand = getattr(fn, "__name__", None)  # jax.jit functools-wraps
+        if cand and cand != "<lambda>":
+            name = cand
+    prefix = f"jit_{name}" if name else "jit_"
 
     out = fn(*args)
     jax.block_until_ready(out)
@@ -80,7 +92,7 @@ def device_time(fn: Callable, args: tuple, iters: int = 4) -> float:
                 e.get("ph") == "X"
                 and "dur" in e
                 and "TPU" in pids.get(e["pid"], "")
-                and str(e.get("name", "")).startswith("jit_")
+                and str(e.get("name", "")).startswith(prefix)
             ):
                 total += e["dur"]
         if total == 0.0:

@@ -123,7 +123,6 @@ def test_rescale_exact_crt_oracle():
     q_last = mods[-1]
     for i in range(n):
         v = composed[i]  # centered
-        expect = (v + q_last // 2) // q_last if v >= 0 else -((-v + q_last // 2 - 1) // q_last)
         # reference convention: remainder in [-q/2, q/2) with v>=q/2 negative
         r = v % q_last
         if r >= (q_last + 1) // 2 or (r == q_last // 2):
