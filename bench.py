@@ -12,6 +12,8 @@ Env:
   BENCH_SMALL=1  tiny shapes (quick smoke run)
   BENCH_TABLE=1  additionally print the full README-parity table
                  (N=1024..32768 NTT/INTT/encode+encrypt/decrypt+decode)
+  BENCH_GRID=1   additionally run the reference's bench grid (LOGN 12-15 x
+                 scaling 36/43/48/55: rotation + mult, benchmarks.cpp:21-22)
 """
 
 import json
@@ -63,17 +65,144 @@ def bench_ntt(ctx, params, batch, ids):
     return t_fwd, t_inv, data
 
 
+def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
+    """encode+encrypt and decrypt+decode timings with the device-side
+    pipeline: host does the float64 FFT + digit split / digit evaluation +
+    slot FFT; the residue decomposition, NTTs, and Garner mixed-radix run on
+    device (one fused jit each way)."""
+    import jax
+
+    from hehub_tpu.core import basecnv, rns
+    from hehub_tpu.models import ckks
+    from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+    n = params.dimension
+    scale0 = params.initial_scaling_factor
+    mods = ctx.moduli_of(ids)
+    K = ckks.decode_limb_count(scale0, ids, mods)
+
+    @jax.jit
+    def encrypt_dev(digits, neg, key):
+        pt_poly = ckks.decompose_digits(ctx, digits, neg, ids)
+        ct = rlwe_mod.encrypt_core(ctx, pt_poly, sk, key)
+        return ct.c0.data, ct.c1.data
+
+    @jax.jit
+    def decrypt_dev(c0d, c1d):
+        c = rlwe_mod.RlweCt(
+            rns.RnsPoly(c0d, rns.NTT, ids), rns.RnsPoly(c1d, rns.NTT, ids)
+        )
+        poly = rlwe_mod.decrypt_core(ctx, c, sk)
+        return basecnv.to_mixed_radix(ctx, poly.data, ids, K)
+
+    # host half of encode
+    digits, neg = ckks._digitize(ckks._coeffs_from_slots(
+        np.atleast_1d(vec.astype(np.complex128)), n) * scale0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        digits, neg = ckks._digitize(ckks._coeffs_from_slots(
+            np.atleast_1d(vec.astype(np.complex128)), n) * scale0)
+    t_enc_host = (time.perf_counter() - t0) / iters
+    t_enc_dev = _timeit(encrypt_dev, (digits, neg, enc_key), iters=iters)
+    c0, c1 = encrypt_dev(digits, neg, enc_key)
+
+    t_dec_dev = _timeit(decrypt_dev, (c0, c1), iters=iters)
+    dig = np.asarray(decrypt_dev(c0, c1))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        coeffs = ckks._mixed_radix_to_float(dig, mods[:K]) / scale0
+        out = ckks._slots_to_read(coeffs, n, n // 2)
+    t_dec_host = (time.perf_counter() - t0) / iters
+    assert np.allclose(np.real(out), vec, atol=2**-12), "round trip failed"
+    t_ee = t_enc_host + t_enc_dev
+    t_dd = t_dec_host + t_dec_dev
+    enc_parts = f"enc host {t_enc_host*1e3:.2f} + dev {t_enc_dev*1e3:.2f} ms"
+    dec_parts = f"dec dev {t_dec_dev*1e3:.2f} + host {t_dec_host*1e3:.2f} ms"
+    return t_ee, t_dd, enc_parts, dec_parts
+
+
+def rotation_grid():
+    """The reference's runnable benchmark grid: LOGN 12-15 x scaling bits
+    36/43/48/55 (/root/reference/bench/benchmarks.cpp:21-22), measuring
+    CKKS rotation (its only live benchmark) plus mult+relin+rescale."""
+    import jax
+
+    from hehub_tpu.core import rns
+    from hehub_tpu.core.context import create_ckks_params, make_context
+    from hehub_tpu.models import ckks
+    from hehub_tpu.rlwe import keys as keys_mod
+    from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+    _err("[grid] logn | scale bits | L | rotate ms/op | mult ms/op")
+    for logn in (12, 13, 14, 15):
+        n = 1 << logn
+        for bits in (36, 43, 48, 55):
+            # enough 30-bit limbs to hold Delta plus one mult's headroom
+            levels = max((bits + 12) // 29 + 2, 4)
+            params = create_ckks_params(
+                n, scaling_bits=bits, num_levels=levels,
+                use_security_budget=False,
+            )
+            ctx = make_context(params)
+            ids = tuple(range(len(params.moduli)))
+            L = len(ids)
+            qs = np.asarray(ctx.moduli_of(ids), np.uint32)[:, None]
+            sk = rlwe_mod.keygen(ctx, jax.random.key(0))
+            rk = keys_mod.rot_key(ctx, sk, 1, jax.random.key(1))
+            rlk = keys_mod.relin_key(ctx, sk, jax.random.key(2))
+            scale = params.initial_scaling_factor
+            batch = 8
+            rng = np.random.default_rng(5)
+            cts = tuple(
+                jax.device_put(
+                    rng.integers(0, 1 << 31, (batch, L, n)).astype(np.uint32)
+                    % (2 * qs)
+                )
+                for _ in range(4)
+            )
+            mk = lambda d: rns.RnsPoly(d, rns.NTT, ids)
+
+            def rot_step(c0d, c1d):
+                out = ckks.rotate(ctx, ckks.CkksCt(mk(c0d), mk(c1d), scale),
+                                  rk, 1)
+                return out.c0.data, out.c1.data
+
+            def mult_step(c0a, c1a, c0b, c1b):
+                out = ckks.rescale_auto(
+                    ctx,
+                    ckks.mult(ctx, ckks.CkksCt(mk(c0a), mk(c1a), scale),
+                              ckks.CkksCt(mk(c0b), mk(c1b), scale), rlk),
+                )
+                return out.c0.data, out.c1.data
+
+            t_rot = _timeit(jax.jit(rot_step), cts[:2], iters=2)
+            t_mul = _timeit(jax.jit(mult_step), cts, iters=2)
+            _err(
+                f"[grid] {logn:4d} | {bits:10d} | {L} | "
+                f"{t_rot*1e3/batch:12.3f} | {t_mul*1e3/batch:10.3f}"
+            )
+
+
 def full_table():
     """README-parity dimensions (/root/reference/README.md:67-77)."""
     import jax
 
-    from hehub_tpu.core.context import create_ckks_params, make_context
+    from hehub_tpu.core.context import (
+        STD_LOGQP_BUDGET, create_ckks_params, make_context,
+    )
     from hehub_tpu.models import ckks
     from hehub_tpu.rlwe import rlwe as rlwe_mod
 
     _err("[table] N | NTT us | INTT us | enc+encrypt ms | decrypt+decode ms")
     for n in (1024, 2048, 4096, 8192, 16384, 32768):
-        params = create_ckks_params(n, scaling_bits=28)
+        # unsafe levels at small n: the README table's dimensions, not a
+        # secure parameter recommendation (n<=2048 cannot hold a 2^28 scale
+        # within the 128-bit budget)
+        params = create_ckks_params(
+            n, scaling_bits=28,
+            num_levels=max(STD_LOGQP_BUDGET[n] // 30 - 1, 2),
+            use_security_budget=False,
+        )
         ctx = make_context(params)
         ids = tuple(range(len(params.moduli)))
         batch = max(2048 // n * 8, 8)
@@ -85,46 +214,12 @@ def full_table():
         vec = np.random.default_rng(1).uniform(-1, 1, n // 2)
         enc_key = jax.random.key(2)
         scale0 = params.initial_scaling_factor
-
-        @jax.jit
-        def encrypt_dev(pt_data, key):
-            pt = ckks.CkksPt(rns.RnsPoly(pt_data, rns.COEFF, ids), scale0)
-            ct = ckks.encrypt(ctx, pt, sk, key)
-            return ct.c0.data, ct.c1.data
-
-        pt_host = ckks.encode(vec, params)
-        t0 = time.perf_counter()
-        for _ in range(4):
-            pt_host = ckks.encode(vec, params)
-        t_enc_host = (time.perf_counter() - t0) / 4
-        t_ee = t_enc_host + _timeit(encrypt_dev, (pt_host.poly.data, enc_key),
-                                    iters=4)
-        c0, c1 = encrypt_dev(pt_host.poly.data, enc_key)
-
-        ct = ckks.CkksCt(
-            rns.RnsPoly(c0, rns.NTT, ids), rns.RnsPoly(c1, rns.NTT, ids), scale0
+        t_ee, t_dd, enc_parts, dec_parts = bench_encode_decode(
+            ctx, params, ids, sk, vec, enc_key
         )
-
-        @jax.jit
-        def decrypt_dev(c0d, c1d):
-            c = ckks.CkksCt(
-                rns.RnsPoly(c0d, rns.NTT, ids), rns.RnsPoly(c1d, rns.NTT, ids),
-                scale0,
-            )
-            return ckks.decrypt(ctx, c, sk).poly.data
-
-        t_dec_dev = _timeit(decrypt_dev, (ct.c0.data, ct.c1.data), iters=4)
-        pt_data = np.asarray(decrypt_dev(ct.c0.data, ct.c1.data))
-        t0 = time.perf_counter()
-        for _ in range(4):
-            ckks.decode(
-                ckks.CkksPt(rns.RnsPoly(pt_data, rns.COEFF, ids), scale0),
-                params,
-            )
-        t_dd = t_dec_dev + (time.perf_counter() - t0) / 4
         _err(
             f"[table] {n:6d} | {t_fwd*1e6/k:7.1f} | {t_inv*1e6/k:7.1f} | "
-            f"{t_ee*1e3:8.2f} | {t_dd*1e3:8.2f}"
+            f"{t_ee*1e3:8.2f} | {t_dd*1e3:8.2f}   ({enc_parts}; {dec_parts})"
         )
 
 
@@ -214,30 +309,36 @@ def main():
         f"{t_mult*1e3/batch:.2f} ms/op ({mult_per_sec:.1f}/s)"
     )
 
-    # ---- CKKS encode+encrypt (host encode + jitted device encrypt) ----------
+    # ---- CKKS encode+encrypt / decrypt+decode (device-side pipeline) --------
     vec = rng.uniform(-1, 1, n // 2)
     enc_key = jax.random.key(2)
-    scale0 = params.initial_scaling_factor
+    t_ee, t_dd, enc_parts, dec_parts = bench_encode_decode(
+        ctx, params, ids, sk, vec, enc_key
+    )
+    _err(f"[bench] CKKS encode+encrypt n={n}: {t_ee*1e3:.2f} ms ({enc_parts})")
+    _err(f"[bench] CKKS decrypt+decode n={n}: {t_dd*1e3:.2f} ms ({dec_parts})")
 
-    @jax.jit
-    def encrypt_dev(pt_data, key):
-        pt = ckks.CkksPt(rns.RnsPoly(pt_data, rns.COEFF, ids), scale0)
-        ct = ckks.encrypt(ctx, pt, sk, key)
-        return ct.c0.data, ct.c1.data
+    # ---- CKKS rotation — the reference's only live benchmark ----------------
+    # (/root/reference/bench/benchmarks.cpp:20-37: rotate = Galois map +
+    # key switch + rescale of the special prime)
+    rk = keys_mod.rot_key(ctx, sk, 1, jax.random.key(12))
+    rk_host = type(rk)(np.asarray(rk.data), rk.limb_ids, rk.alpha)
 
-    def encode_encrypt():
-        pt = ckks.encode(vec, params)
-        return encrypt_dev(pt.poly.data, enc_key)
+    def rotate_step(c0d, c1d):
+        mk = lambda d: rns.RnsPoly(d, rns.NTT, ids)
+        out = ckks.rotate(
+            ctx, ckks.CkksCt(mk(c0d), mk(c1d), scale),
+            type(rk)(rk_host.data, rk.limb_ids, rk.alpha), 1,
+        )
+        return out.c0.data, out.c1.data
 
-    pt_data = ckks.encode(vec, params).poly.data
-    t0 = time.perf_counter()
-    for _ in range(4):
-        pt_host = ckks.encode(vec, params)
-    t_encode = (time.perf_counter() - t0) / 4
-    t_encrypt = _timeit(encrypt_dev, (pt_host.poly.data, enc_key), iters=4)
-    t_ee = t_encode + t_encrypt
-    _err(f"[bench] CKKS encode+encrypt n={n}: {t_ee*1e3:.2f} ms "
-         f"(host encode {t_encode*1e3:.2f} + device {t_encrypt*1e3:.2f})")
+    rot_jit = jax.jit(rotate_step)
+    t_rot = _timeit(rot_jit, cts[:2], iters=4)
+    rotate_per_sec = batch / t_rot
+    _err(
+        f"[bench] CKKS rotate n={n} L={L}: {t_rot*1e3/batch:.2f} ms/op "
+        f"({rotate_per_sec:.1f}/s)"
+    )
 
     # ---- TFHE bootstrapped gate throughput (batched blind rotation) ----------
     from hehub_tpu.models import tfhe
@@ -275,7 +376,10 @@ def main():
         "intt_per_sec": intt_per_sec,
         "ckks_mult_relin_rescale_per_sec": mult_per_sec,
         "ckks_mult_ms_per_op": t_mult * 1e3 / batch,
+        "ckks_rotate_per_sec": rotate_per_sec,
+        "ckks_rotate_ms_per_op": t_rot * 1e3 / batch,
         "ckks_encode_encrypt_ms": t_ee * 1e3,
+        "ckks_decrypt_decode_ms": t_dd * 1e3,
         "modmul_gops": rl_mm.gops_per_s,
         "n": n,
         "limbs": L,
@@ -286,6 +390,8 @@ def main():
 
     if os.environ.get("BENCH_TABLE") == "1":
         full_table()
+    if os.environ.get("BENCH_GRID") == "1":
+        rotation_grid()
 
     # Reference forward-NTT times per N (/root/reference/README.md:70-77),
     # so BENCH_SMALL's n=2048 run still reports a meaningful ratio while the

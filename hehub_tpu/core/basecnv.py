@@ -196,6 +196,46 @@ def base_convert(
     return RnsPoly(data, COEFF, tuple(dst_ids))
 
 
+def to_mixed_radix(ctx: Context, data, limb_ids: Tuple[int, ...], k: int):
+    """Device Garner conversion: strict residues of x under the first k limbs
+    -> mixed-radix digits [..., k, n] with x = Σ_j y_j · ∏_{m<j} q_m (mod ∏q).
+
+    This is the device half of big-coefficient CKKS decode (the role of the
+    reference's CRTComposer, bigint.cpp:330-405, without bignums): the host
+    only evaluates the k digits in float64. O(k²) fused elementwise passes.
+
+    `data`: [..., L, n] uint32 lazy with L >= k.
+    """
+    ids = limb_ids[:k]
+    mods = [int(m) for m in ctx.moduli_of(ids)]
+    x = ma.reduce_strict(data[..., :k, :], ctx.rows("q", ids))
+    ys = [x[..., 0, :]]
+    for i in range(1, k):
+        qi = mods[i]
+        two_qi = np.uint32(2 * qi)
+        # acc = (y_0 + y_1·Q_1 + ... + y_{i-1}·Q_{i-1}) mod q_i, lazy.
+        # y_0 < q_0 < 2·q_i for 30-bit limb sets, a valid lazy input.
+        acc = ys[0]
+        for j in range(1, i):
+            w = 1
+            for m in mods[:j]:
+                w = w * m % qi
+            term = ma.shoup_mul_lazy(
+                ys[j], np.uint32(w), np.uint32(hm.shoup(w, qi)), np.uint32(qi)
+            )
+            acc = ma.add_lazy(acc, term, two_qi)
+        diff = ma.sub_lazy(x[..., i, :], acc, two_qi)
+        w_inv = 1
+        for m in mods[:i]:
+            w_inv = w_inv * m % qi
+        w_inv = hm.modinv(w_inv, qi)
+        y_i = ma.shoup_mul_lazy(
+            diff, np.uint32(w_inv), np.uint32(hm.shoup(w_inv, qi)), np.uint32(qi)
+        )
+        ys.append(ma.reduce_strict(y_i, np.uint32(qi)))
+    return jnp.stack(ys, axis=-2)
+
+
 # ---------------------------------------------------------------------------
 # Host-side exact compose/convert (the k->1 and oracle paths)
 # ---------------------------------------------------------------------------

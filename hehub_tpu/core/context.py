@@ -121,10 +121,17 @@ def create_ckks_params(
     Mirrors ckks::create_params(dimension, initial_scaling_bits)
     (/root/reference/src/fhe/ckks/basics.cpp:40-64) but with a fixed 30-bit
     limb width: the level budget comes from the same standard log(QP) table,
-    divided into 30-bit primes; the scaling factor is 2^scaling_bits <= 2^29.
+    divided into 30-bit primes. Scaling factors up to 2^55 (the reference's
+    own bench grid, bench/benchmarks.cpp:21-22) are supported: coefficients
+    span several limbs, encode/decode handle the magnitude exactly
+    (models/ckks.py), and rescale drops as many limbs as the scale warrants
+    (models/ckks.rescale with dropping_primes > 1).
     """
-    if scaling_bits > 29:
-        raise ValueError("32-bit lanes support scaling factors up to 2^29")
+    if scaling_bits > 55:
+        raise ValueError(
+            "scaling factors above 2^55 leave no slot-value headroom below "
+            "the 2^62 encode bound"
+        )
     if num_levels is None:
         budget = STD_LOGQP_BUDGET.get(dimension)
         if budget is None:
@@ -137,6 +144,11 @@ def create_ckks_params(
                 f"{num_levels} levels exceed the 128-bit-security budget "
                 f"({budget} bits) for dimension {dimension}"
             )
+    if 29 * num_levels < scaling_bits + 11:
+        raise ValueError(
+            f"{num_levels} levels of 30-bit primes cannot hold coefficients "
+            f"at a 2^{scaling_bits} scale (fresh ciphertexts would wrap mod Q)"
+        )
     primes = hm.gen_ntt_primes(30, num_levels + num_special, dimension)
     return CkksParams(
         dimension=dimension,

@@ -2,10 +2,16 @@
 (≙ /root/reference/src/fhe/ckks/ckks.h:40-313, basics.cpp, arith.cpp,
 rescaling.cpp), TPU-native.
 
-Encoding runs on the host in float64 via a twisted length-n FFT (exact slot
-placement in Galois-exponent order so SIMD slots align with rotation keys,
-≙ basics.cpp:156-258); everything from encrypt onward is jit-traceable device
-code over uint32 RNS tensors with leading batch dims.
+Encoding: the host does ONLY the float64 twisted FFT (exact slot placement
+in Galois-exponent order so SIMD slots align with rotation keys,
+≙ basics.cpp:156-258) plus an exact base-2^22 digit split of the rounded
+coefficients; the O(L·n) residue decomposition runs on device where it fuses
+into the encrypt NTT. Decoding mirrors it: a device Garner mixed-radix
+conversion over the magnitude-bound limb prefix, a small D2H of the digits,
+and a float64 evaluation + slot FFT on the host. Both paths are batched and
+handle arbitrary coefficient magnitudes (|c| < 2^62) — the reference's
+UBInt big-coefficient paths (basics.cpp:226-254, 274-356) without bignums
+and without leaving the device for the per-limb work.
 """
 
 from __future__ import annotations
@@ -107,83 +113,145 @@ def _slots_to_read(coeffs: np.ndarray, n: int, count: int) -> np.ndarray:
     return ev[..., pos]
 
 
+_DIGIT_BITS = 22
+_NUM_DIGITS = 3  # 3 x 22-bit digits cover the |coefficient| < 2^62 bound
+
+
+def _digitize(coeffs: np.ndarray):
+    """Exact base-2^22 digit split of integer-valued float64 coefficients.
+
+    rint and the float64->int64 conversion are exact for |c| < 2^63, so
+    (digits, neg) determine one well-defined integer per coefficient — the
+    device decomposition then produces consistent residues of exactly that
+    integer under every limb. Returns
+    (digits uint32 [..., 3, n], neg uint32 [..., n])."""
+    x = np.rint(coeffs)
+    if np.abs(x).max(initial=0.0) >= float(1 << 62):
+        raise ValueError(
+            "encoded coefficients exceed 2^62; lower the scaling factor"
+        )
+    ix = x.astype(np.int64)
+    neg = (ix < 0).astype(np.uint32)
+    ax = np.abs(ix).astype(np.uint64)
+    mask = np.uint64((1 << _DIGIT_BITS) - 1)
+    digits = np.empty((*x.shape[:-1], _NUM_DIGITS, x.shape[-1]), np.uint32)
+    for i in range(_NUM_DIGITS):
+        digits[..., i, :] = (
+            (ax >> np.uint64(_DIGIT_BITS * i)) & mask
+        ).astype(np.uint32)
+    return digits, neg
+
+
+def decompose_digits(ctx: Context, digits, neg, ids: Tuple[int, ...]) -> RnsPoly:
+    """Device residue decomposition of digitized coefficients: lazy residues
+    r_j = ±(d0 + d1·2^22 + d2·2^44) mod q_j. Jit-traceable; fuses into the
+    encrypt NTT (replaces the host loop of ≙ basics.cpp:210-254)."""
+    from hehub_tpu.utils import hostmath as hm
+
+    mods = ctx.moduli_of(ids)
+    q = ctx.rows("q", ids)
+    two_q = ctx.rows("two_q", ids)
+    r = digits[..., 0, None, :].astype(jnp.uint32)  # [..., 1, n] < 2^22
+    for i in range(1, _NUM_DIGITS):
+        c = [(1 << (_DIGIT_BITS * i)) % m for m in mods]
+        w, w_sh = hm.shoup_pair_arrays(c, mods)
+        term = ma.shoup_mul_lazy(
+            digits[..., i, None, :].astype(jnp.uint32), w[:, None], w_sh[:, None], q
+        )
+        r = ma.add_lazy(r, term, two_q)
+    r = jnp.where(neg[..., None, :] != 0, ma.neg_lazy(r, two_q), r)
+    return RnsPoly(r.astype(jnp.uint32), COEFF, ids)
+
+
+@functools.lru_cache(maxsize=None)
+def _decompose_jit(ctx: Context, ids: Tuple[int, ...]):
+    return jax.jit(lambda d, s: decompose_digits(ctx, d, s, ids).data)
+
+
 def encode(
     data, params: CkksParams, scaling_factor: Optional[float] = None, level: int = 0
 ) -> CkksPt:
     """SIMD-encode up to n/2 complex numbers (≙ ckks::simd_encode,
     basics.cpp:156-272). `level`=0 means all limbs; level=k drops the last k.
 
-    `data` may carry leading batch dims ([..., slots]): the FFT and residue
-    decomposition vectorize, yielding a batched plaintext [..., L, n]."""
+    `data` may carry leading batch dims ([..., slots]): the FFT, the digit
+    split, and the device decomposition all vectorize, yielding a batched
+    plaintext [..., L, n]. Arbitrary coefficient magnitudes (< 2^62) are
+    supported — scaling factors up to ~2^55 with slot values up to ~2^10."""
     ctx = make_context(params)
     n = params.dimension
     scale = scaling_factor or params.initial_scaling_factor
     data = np.atleast_1d(np.asarray(data, dtype=np.complex128))
     if data.shape[-1] > n // 2:
         raise ValueError(f"can encode at most {n//2} slots")
-    coeffs = _coeffs_from_slots(data, n) * scale
+    digits, neg = _digitize(_coeffs_from_slots(data, n) * scale)
     ids = tuple(range(len(params.moduli) - level))
-    mods = ctx.moduli_of(ids)
-    if np.abs(coeffs).max(initial=0.0) < 2**52:
-        ints = np.rint(coeffs).astype(np.int64)
-        from hehub_tpu.native import loader
-
-        if loader.available():
-            resid = loader.decompose_i64(ints, mods)
-        else:
-            qs = np.asarray(mods, np.int64).reshape(
-                (len(mods),) + (1,) * ints.ndim
-            )
-            resid = np.moveaxis(ints[None] % qs, 0, -2).astype(np.uint32)
-    else:  # big-coefficient path, exact via Python ints (≙ basics.cpp:226-254)
-        if coeffs.ndim != 1:
-            raise ValueError("big-coefficient encode supports 1-D data only")
-        ints = [int(round(c)) for c in coeffs]
-        resid = hm_decompose(ints, mods)
-    return CkksPt(RnsPoly(jnp.asarray(resid), COEFF, ids), float(scale))
+    resid = _decompose_jit(ctx, ids)(digits, neg)
+    return CkksPt(RnsPoly(resid, COEFF, ids), float(scale))
 
 
-def hm_decompose(ints, mods):
-    from hehub_tpu.utils import hostmath as hm
+def decode_limb_count(scale: float, limbs: Tuple[int, ...], moduli) -> int:
+    """Smallest K with ∏_{j<K} q_j comfortably above the coefficient
+    magnitude: 2·scale·max|z|·noise-slack (max|z| ≤ 2^8, slack 2^12)."""
+    import math
 
-    return hm.decompose_rns(ints, list(mods))
+    need = math.log2(max(scale, 1.0)) + 21.0
+    acc = 0.0
+    for k, q in enumerate(moduli):
+        acc += math.log2(q)
+        if acc >= need:
+            return k + 1
+    return len(moduli)
 
 
-def decode(pt: CkksPt, params: CkksParams, count: Optional[int] = None) -> np.ndarray:
-    """(≙ ckks::simd_decode, basics.cpp:274-366). Host-exact CRT compose when
-    coefficients exceed one limb."""
+@functools.lru_cache(maxsize=None)
+def _garner_jit(ctx: Context, ids: Tuple[int, ...], k: int):
+    return jax.jit(lambda d: basecnv.to_mixed_radix(ctx, d, ids, k))
+
+
+def decode(
+    pt: CkksPt,
+    params: CkksParams,
+    count: Optional[int] = None,
+    limbs: Optional[int] = None,
+) -> np.ndarray:
+    """(≙ ckks::simd_decode, basics.cpp:274-366), batched, any magnitude.
+
+    Device: Garner mixed-radix digits over the first K limbs (K bound by the
+    scaling factor, or `limbs`). Host: balanced-digit carry pass + float64
+    evaluation + slot FFT. Exact to float64 precision for any coefficient
+    with |c| < (∏_{j<K} q_j)/2."""
     ctx = make_context(params)
     n = params.dimension
     count = count or n // 2
     poly = pt.poly
     if poly.form != COEFF:
         raise ValueError("decode expects coeff form")
-    resid = np.asarray(poly.data)  # [..., L, n]
     mods = ctx.moduli_of(poly.limb_ids)
-    resid = resid % np.asarray(mods, np.uint32)[:, None]
-    # small-coefficient fast path: all limbs agree as signed values
-    q0 = mods[0]
-    r0 = resid[..., 0, :]
-    signed0 = np.where(r0 < q0 // 2, r0.astype(np.int64),
-                       r0.astype(np.int64) - q0)
-    agree = all(
-        np.array_equal(signed0 % q, resid[..., k, :])
-        for k, q in enumerate(mods)
-    )
-    if agree:
-        coeffs = signed0.astype(np.float64)
-    else:
-        if resid.ndim != 2:
-            raise ValueError("big-coefficient decode supports 1 ciphertext")
-        from hehub_tpu.native import loader
-
-        if loader.available():
-            coeffs = loader.compose_double(resid, list(mods))
-        else:
-            ints = basecnv.compose_to_int(resid, mods)
-            coeffs = np.asarray([float(x) for x in ints])
-    coeffs /= pt.scaling_factor
+    K = limbs or decode_limb_count(pt.scaling_factor, poly.limb_ids, mods)
+    K = min(K, len(mods))
+    digits = np.asarray(_garner_jit(ctx, poly.limb_ids, K)(poly.data))
+    coeffs = _mixed_radix_to_float(digits, mods[:K]) / pt.scaling_factor
     return _slots_to_read(coeffs, n, count)
+
+
+def _mixed_radix_to_float(digits: np.ndarray, mods) -> np.ndarray:
+    """Centered float64 value of Garner digits [..., K, n]: a balanced-digit
+    carry pass (so small |x| keeps high digits exactly zero — no float64
+    cancellation), then Σ ŷ_j·∏_{m<j} q_m."""
+    K = digits.shape[-2]
+    d = digits.astype(np.int64)
+    carry = np.zeros(d.shape[:-2] + d.shape[-1:], np.int64)
+    out = np.zeros(d.shape[:-2] + d.shape[-1:], np.float64)
+    weight = 1.0
+    for j in range(K):
+        q = int(mods[j])
+        dj = d[..., j, :] + carry
+        carry = (dj > q // 2).astype(np.int64)
+        out += (dj - carry * q).astype(np.float64) * weight
+        weight *= float(q)
+    # a final carry out of the top digit is the mod-∏q wrap: drop it
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +367,28 @@ def rescale(ctx, ct: CkksCt, dropping_primes: int = 1) -> CkksCt:
         c1 = basecnv.div_last_rounded(ctx, c1)
         scale /= q_last
     return CkksCt(c0, c1, scale)
+
+
+def rescale_auto(ctx, ct: CkksCt, min_scale: Optional[float] = None) -> CkksCt:
+    """Drop as many trailing primes as the scaling factor warrants, keeping
+    it >= `min_scale` (default: the params' initial scaling factor).
+
+    With 30-bit limbs a large scale (e.g. 2^48) is not a product of limb
+    moduli, so the scale drifts within [min_scale, min_scale·q) — the
+    flexible-scale discipline; adds still engineer exact equality through
+    compensating plaintext scales."""
+    if min_scale is None:
+        min_scale = ctx.params.initial_scaling_factor
+    scale = ct.scaling_factor
+    drops = 0
+    level = ct.c0.limb_count
+    while drops < level - 1:
+        q_last = ctx.mod_list[ct.c0.limb_ids[level - 1 - drops]]
+        if scale / q_last < min_scale:
+            break
+        scale /= q_last
+        drops += 1
+    return rescale(ctx, ct, drops) if drops else ct
 
 
 def mod_drop(ctx, ct: CkksCt, count: int = 1) -> CkksCt:

@@ -76,6 +76,143 @@ def gen_ntt_primes(bits: int, count: int, n: int) -> Tuple[int, ...]:
     return tuple(primes)
 
 
+def _pollard_rho(n: int) -> int:
+    """A nontrivial factor of composite n (Brent's variant)."""
+    if n % 2 == 0:
+        return 2
+    import math
+    import random
+
+    rnd = random.Random(0xC0FFEE ^ n)
+    while True:
+        y, c, m = rnd.randrange(1, n), rnd.randrange(1, n), 128
+        g, r, q = 1, 1, 1
+        while g == 1:
+            x = y
+            for _ in range(r):
+                y = (y * y + c) % n
+            k = 0
+            while k < r and g == 1:
+                ys = y
+                for _ in range(min(m, r - k)):
+                    y = (y * y + c) % n
+                    q = q * abs(x - y) % n
+                g = math.gcd(q, n)
+                k += m
+            r <<= 1
+        if g == n:
+            g = 1
+            while g == 1:
+                ys = (ys * ys + c) % n
+                g = math.gcd(abs(x - ys), n)
+        if g != n:
+            return g
+
+
+@functools.lru_cache(maxsize=None)
+def factorize(n: int) -> Tuple[Tuple[int, int], ...]:
+    """Prime factorization of n as sorted ((p, e), ...) pairs. Exact for any
+    64-bit n (trial division for small factors, Pollard rho beyond)."""
+    if n < 2:
+        return ()
+    factors = {}
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47):
+        while n % p == 0:
+            factors[p] = factors.get(p, 0) + 1
+            n //= p
+    stack = [n] if n > 1 else []
+    while stack:
+        m = stack.pop()
+        if m == 1:
+            continue
+        if is_prime(m):
+            factors[m] = factors.get(m, 0) + 1
+            continue
+        d = _pollard_rho(m)
+        stack += [d, m // d]
+    return tuple(sorted(factors.items()))
+
+
+def coprime_factors(n: int) -> Tuple[int, ...]:
+    """n as a product of pairwise-coprime prime powers p^e (CRT basis)."""
+    return tuple(p**e for p, e in factorize(n))
+
+
+def mulmod_u64(a, b, t: int):
+    """Vectorized (a * b) mod t for uint64 numpy arrays with a, b, t < 2^62.
+
+    Barrett via 80-bit longdouble: q ≈ floor(a·b/t) with error <= ~2, then
+    the remainder is recovered exactly in wrapping uint64 arithmetic and
+    corrected. Used only on host paths (big plaintext moduli)."""
+    a = np.asarray(a, np.uint64)
+    b = np.asarray(b, np.uint64)
+    tt = np.uint64(t)
+    q = (a.astype(np.longdouble) * b.astype(np.longdouble) / np.longdouble(t))
+    q = q.astype(np.uint64)  # trunc; off by at most ~2 either way
+    with np.errstate(over="ignore"):
+        r = a * b - q * tt  # exact mod 2^64; true r in (-3t, 3t)
+    # fold the (-3t, 0) wraparound branch and the (t, 3t) branch back
+    for _ in range(3):
+        r = np.where(r >= np.uint64(1) << np.uint64(63), r + tt, r)
+    for _ in range(3):
+        r = np.where(r >= tt, r - tt, r)
+    return r
+
+
+def ntt_host_u64(values, t: int, n: int, inverse: bool = False):
+    """Negacyclic NTT/INTT mod a big prime t (t ≡ 1 mod 2n, t < 2^62) on the
+    host, matching the device kernels' no-bitrev value order (ops/ntt.py):
+    forward DIT emits bit-reversed order, inverse DIF consumes it.
+
+    Role of the reference's u64/u128 NTT for large plain moduli
+    (ntt.cpp:145-222 supports primes <= 59 bits); vectorized numpy with
+    longdouble-Barrett mulmods, used for SIMD packing when t exceeds the
+    30-bit device lanes."""
+    x = np.ascontiguousarray(np.asarray(values, np.uint64)).copy()
+    logn = n.bit_length() - 1
+    psi = negacyclic_psi(t, n)
+    if inverse:
+        psi = modinv(psi, t)
+    # twiddle table in bit-reversed-power layout (≙ context._psi_power_table)
+    powers = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for j in range(n):
+        powers[j] = acc
+        acc = acc * psi % t
+    rev = np.zeros(n, np.int64)
+    idx = np.arange(n)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    tw = powers[rev]
+    lead = x.shape[:-1]
+    if not inverse:
+        for s in range(logn):
+            m = 1 << s
+            gap = n >> (s + 1)
+            y = x.reshape(*lead, m, 2, gap)
+            lo, hi = y[..., 0, :].copy(), y[..., 1, :]
+            w = tw[m : 2 * m][:, None]
+            wh = mulmod_u64(hi, np.broadcast_to(w, hi.shape), t)
+            y[..., 0, :] = (lo + wh) % np.uint64(t)
+            y[..., 1, :] = (lo + np.uint64(t) - wh) % np.uint64(t)
+            x = y.reshape(*lead, n)
+    else:
+        for s in range(logn):
+            h = n >> (s + 1)
+            y = x.reshape(*lead, h, 2, 1 << s)
+            lo, hi = y[..., 0, :].copy(), y[..., 1, :].copy()
+            y[..., 0, :] = (lo + hi) % np.uint64(t)
+            w = tw[h : 2 * h][:, None]
+            y[..., 1, :] = mulmod_u64(
+                (lo + np.uint64(t) - hi) % np.uint64(t),
+                np.broadcast_to(w, hi.shape), t,
+            )
+            x = y.reshape(*lead, n)
+        n_inv = modinv(n, t)
+        x = mulmod_u64(x, np.broadcast_to(np.uint64(n_inv), x.shape), t)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Roots of unity
 # ---------------------------------------------------------------------------
