@@ -121,6 +121,46 @@ def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
     return t_ee, t_dd, enc_parts, dec_parts
 
 
+def bench_bootstrap(n=4096, num_levels=18, degree=63):
+    """Full CKKS bootstrap at n=4096 on device: returns ms per refresh
+    (trace-based device time of the whole pipeline, linear-transform plans
+    prebuilt by a warmup call)."""
+    import jax
+
+    from hehub_tpu.circuits import bootstrap as bs
+    from hehub_tpu.core.context import make_context
+    from hehub_tpu.models import ckks
+    from hehub_tpu.rlwe import keys as keys_mod
+    from hehub_tpu.rlwe import rlwe as rlwe_mod
+    from hehub_tpu.utils import profiling
+
+    params = bs.make_boot_params(n, num_levels=num_levels)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=32)
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    t0 = time.perf_counter()
+    rot_keys = {
+        st: keys_mod.rot_key(ctx, sk, st, jax.random.key(100 + st))
+        for st in bs.bootstrap_rotation_steps(params)
+    }
+    ck = keys_mod.conj_key(ctx, sk, jax.random.key(5))
+    _err(f"[bench] bootstrap keygen: {len(rot_keys)} rotation keys in "
+         f"{time.perf_counter()-t0:.1f}s")
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-1, 1, n // 2)
+    pt = ckks.encode(v, params, scaling_factor=2.0**23,
+                     level=len(params.moduli) - 1)
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(7))
+    booter = bs.Bootstrapper(ctx, params, rlk, rot_keys, ck, k_bound=8,
+                             degree=degree)
+    out = booter(ct)  # warmup: builds plans, compiles every stage
+    got = np.real(ckks.decode(ckks.decrypt(ctx, out, sk), params))
+    err = float(np.abs(got - v).max())
+    _err(f"[bench] bootstrap correctness: max err {err:.3e}")
+    t = profiling.device_time(lambda _: booter(ct), (0,), iters=1)
+    return t * 1e3
+
+
 def rotation_grid():
     """The reference's runnable benchmark grid: LOGN 12-15 x scaling bits
     36/43/48/55 (/root/reference/bench/benchmarks.cpp:21-22), measuring
@@ -242,8 +282,11 @@ def main():
     dev = jax.devices()[0]
     _err(f"[bench] device: {dev} platform={dev.platform}")
 
+    # n=16384 with 7+1 limbs is 240 bits <= the 438-bit 128-bit-security
+    # budget: the headline benchmark runs SECURE parameters (small mode is
+    # a toy-dimension smoke run)
     params = create_ckks_params(
-        n, scaling_bits=28, num_levels=levels, use_security_budget=False
+        n, scaling_bits=28, num_levels=levels, use_security_budget=not small
     )
     ctx = make_context(params)
     ids = tuple(range(len(params.moduli)))
@@ -343,9 +386,14 @@ def main():
     # ---- TFHE bootstrapped gate throughput (batched blind rotation) ----------
     from hehub_tpu.models import tfhe
 
-    tparams = tfhe.TfheParams(
-        rlwe_dimension=1024 if not small else 512,
-        lwe_dimension=256 if not small else 64,
+    # named presets with documented security estimates (models/tfhe.py):
+    # the headline gate runs the ~128-bit set, small mode the toy set
+    tparams = tfhe.PRESET_GATE_128 if not small else tfhe.TfheParams(
+        rlwe_dimension=512, lwe_dimension=64
+    )
+    _err(
+        f"[bench] TFHE preset security ≈ {tparams.security_bits():.0f} bits "
+        f"(N={tparams.rlwe_dimension}, m={tparams.lwe_dimension})"
     )
     tkeys = tfhe.keygen(tparams, jax.random.key(9))
     gate_batch = 64 if not small else 8
@@ -369,7 +417,15 @@ def main():
         f"({gates_per_sec:.0f} gates/s batched x{gate_batch})"
     )
 
+    # ---- CKKS bootstrap at production shape (n=4096) ------------------------
+    boot_ms = None
+    if not small:
+        boot_ms = bench_bootstrap()
+        _err(f"[bench] CKKS bootstrap n=4096: {boot_ms:.1f} ms/refresh "
+             f"(device time, plans cached)")
+
     extra = {
+        "ckks_bootstrap_ms": boot_ms,
         "tfhe_gates_per_sec": gates_per_sec,
         "ntt_fwd_us_per_transform": t_fwd * 1e6 / (batch * L),
         "intt_us_per_transform": t_inv * 1e6 / (batch * L),

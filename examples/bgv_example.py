@@ -24,7 +24,7 @@ from hehub_tpu.rlwe import rlwe as rlwe_mod
 
 
 def main():
-    params = create_bgv_params(4096, plain_bits=17, num_levels=3)
+    params = create_bgv_params(4096, plain_bits=17, num_levels=2)
     ctx = make_context(params)
     t = params.plain_modulus
     n = params.dimension

@@ -196,6 +196,77 @@ def base_convert(
     return RnsPoly(data, COEFF, tuple(dst_ids))
 
 
+# ---------------------------------------------------------------------------
+# Digit-form integers: the host<->device interchange format for values wider
+# than one limb (CKKS big-coefficient encode, BGV general plaintext moduli)
+# ---------------------------------------------------------------------------
+
+DIGIT_BITS = 22
+NUM_DIGITS = 3  # 3 x 22-bit digits cover |value| < 2^62
+
+
+def digitize_signed(ix: np.ndarray):
+    """Exact base-2^22 digit split of int64 values, |ix| < 2^62. Returns
+    (digits uint32 [..., 3, n], neg uint32 [..., n]) — the interchange
+    format consumed by decompose_digits on device."""
+    ix = np.asarray(ix, np.int64)
+    if np.abs(ix).max(initial=0) >= (1 << 62):
+        raise ValueError("digitize_signed requires |values| < 2^62")
+    neg = (ix < 0).astype(np.uint32)
+    ax = np.abs(ix).astype(np.uint64)
+    mask = np.uint64((1 << DIGIT_BITS) - 1)
+    digits = np.empty((*ix.shape[:-1], NUM_DIGITS, ix.shape[-1]), np.uint32)
+    for i in range(NUM_DIGITS):
+        digits[..., i, :] = (
+            (ax >> np.uint64(DIGIT_BITS * i)) & mask
+        ).astype(np.uint32)
+    return digits, neg
+
+
+def decompose_digits(ctx: Context, digits, neg, ids: Tuple[int, ...]) -> RnsPoly:
+    """Device residue decomposition of digitized signed integers: lazy
+    residues r_j = ±(d0 + d1·2^22 + d2·2^44) mod q_j. Jit-traceable; fuses
+    into whatever consumes it (the encrypt NTT, a plaintext lift). Replaces
+    the reference's host per-limb loops (ckks/basics.cpp:210-254 and the
+    1->k signed lift rns_transform.cpp:11-37 for wide values)."""
+    mods = ctx.moduli_of(ids)
+    q = ctx.rows("q", ids)
+    two_q = ctx.rows("two_q", ids)
+    r = digits[..., 0, None, :].astype(jnp.uint32)  # [..., 1, n] < 2^22
+    for i in range(1, NUM_DIGITS):
+        c = [(1 << (DIGIT_BITS * i)) % m for m in mods]
+        w, w_sh = hm.shoup_pair_arrays(c, mods)
+        term = ma.shoup_mul_lazy(
+            digits[..., i, None, :].astype(jnp.uint32), w[:, None],
+            w_sh[:, None], q,
+        )
+        r = ma.add_lazy(r, term, two_q)
+    r = jnp.where(neg[..., None, :] != 0, ma.neg_lazy(r, two_q), r)
+    return RnsPoly(r.astype(jnp.uint32), COEFF, ids)
+
+
+def div_last_rounded_pair(
+    ctx: Context,
+    a: RnsPoly,
+    b: RnsPoly,
+    plain_modulus: Optional[int] = None,
+    restore_plain_scale: bool = True,
+) -> Tuple[RnsPoly, RnsPoly]:
+    """div_last_rounded on both ciphertext halves in ONE stacked call: the
+    INTT/NTT kernels see 2x the rows (better block utilization, half the
+    launches)."""
+    if a.limb_ids != b.limb_ids or a.form != b.form:
+        raise ValueError("pair must share limbs and form")
+    stacked = RnsPoly(
+        jnp.stack([a.data, b.data], axis=0), a.form, a.limb_ids
+    )
+    out = div_last_rounded(ctx, stacked, plain_modulus, restore_plain_scale)
+    return (
+        RnsPoly(out.data[0], out.form, out.limb_ids),
+        RnsPoly(out.data[1], out.form, out.limb_ids),
+    )
+
+
 def to_mixed_radix(ctx: Context, data, limb_ids: Tuple[int, ...], k: int):
     """Device Garner conversion: strict residues of x under the first k limbs
     -> mixed-radix digits [..., k, n] with x = Σ_j y_j · ∏_{m<j} q_m (mod ∏q).

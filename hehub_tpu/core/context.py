@@ -88,20 +88,41 @@ class CkksParams(RlweParams):
 
 @dataclasses.dataclass(frozen=True)
 class BgvParams(RlweParams):
-    """BGV parameters: plaintext modulus t, itself an NTT prime for SIMD
-    packing (≙ BgvCt.plain_modulus, bgv.h:24-33)."""
+    """BGV parameters: plaintext modulus t — ANY integer in [2, 2^58)
+    coprime to the ciphertext moduli (≙ the reference's coprimality-only
+    requirement, bgv/basics.cpp:80-117; its CRT-decrypt test runs a 45-bit
+    prime t, tests/bgv_t.cpp:48-58).
+
+    SIMD slot packing additionally needs every prime factor of t to satisfy
+    t_i ≡ 1 (mod 2n); factors < 2^29 pack on device, larger ones through the
+    host big-prime NTT (hostmath.ntt_host_u64)."""
 
     plain_modulus: int = 0
 
     def __post_init__(self):
         super().__post_init__()
+        import math
+
         t = self.plain_modulus
+        if not 2 <= t < (1 << 58):
+            raise ValueError(f"plain modulus {t} must be in [2, 2^58)")
+        for q in self.moduli + self.special_mods:
+            if math.gcd(t, q) != 1:
+                raise ValueError("plain modulus must be coprime with ct moduli")
+
+    @property
+    def plain_factors(self) -> Tuple[int, ...]:
+        """t as pairwise-coprime prime powers (the CRT basis for Z_t)."""
+        return hm.coprime_factors(self.plain_modulus)
+
+    @property
+    def simd_capable(self) -> bool:
+        """True when Z_t slots pack via per-factor negacyclic NTTs."""
         n = self.dimension
-        if t in self.moduli or t in self.special_mods:
-            raise ValueError("plain modulus must be coprime with ct moduli")
-        if t % (2 * n) != 1 or not hm.is_prime(t) or t >= (1 << 29):
-            # t < 2^29 <= q_j keeps the signed plaintext lift single-select
-            raise ValueError(f"plain modulus {t} must be an NTT prime < 2^29 for n={n}")
+        return all(
+            e == 1 and p % (2 * n) == 1
+            for p, e in hm.factorize(self.plain_modulus)
+        )
 
 
 # Standard ~128-bit-security total log(Q·P) budgets per dimension
@@ -132,14 +153,28 @@ def create_ckks_params(
             "scaling factors above 2^55 leave no slot-value headroom below "
             "the 2^62 encode bound"
         )
+    budget = STD_LOGQP_BUDGET.get(dimension)
     if num_levels is None:
-        budget = STD_LOGQP_BUDGET.get(dimension)
         if budget is None:
             raise ValueError(f"no standard budget for dimension {dimension}")
-        num_levels = max(budget // 30 - num_special, 1)
-    elif use_security_budget:
-        budget = STD_LOGQP_BUDGET.get(dimension)
-        if budget is not None and 30 * (num_levels + num_special) > budget:
+        num_levels = budget // 30 - num_special
+        if num_levels < 1:
+            if use_security_budget:
+                raise ValueError(
+                    f"dimension {dimension} cannot fit even one level plus "
+                    f"{num_special} special prime(s) within its {budget}-bit "
+                    "128-bit-security budget; use a larger dimension, or pass "
+                    "num_levels explicitly with use_security_budget=False to "
+                    "build KNOWINGLY-INSECURE parameters"
+                )
+            num_levels = 1
+    if use_security_budget:
+        if budget is None:
+            raise ValueError(
+                f"no standard security budget for dimension {dimension}; "
+                "pass use_security_budget=False to opt out explicitly"
+            )
+        if 30 * (num_levels + num_special) > budget:
             raise ValueError(
                 f"{num_levels} levels exceed the 128-bit-security budget "
                 f"({budget} bits) for dimension {dimension}"
@@ -163,15 +198,36 @@ def create_bgv_params(
     plain_bits: int = 17,
     num_levels: int = 3,
     num_special: int = 1,
+    plain_modulus: Optional[int] = None,
+    use_security_budget: bool = True,
 ) -> BgvParams:
-    """BGV parameter selection: 30-bit ciphertext primes + an NTT-prime t."""
+    """BGV parameter selection: 30-bit ciphertext primes + a plaintext
+    modulus — an NTT prime of `plain_bits` bits by default, or any explicit
+    `plain_modulus` in [2, 2^58) coprime to the chain (composite, large
+    prime, or non-NTT values all work; SIMD needs NTT-friendly factors).
+
+    The 128-bit-security log(QP) budget is enforced by default, exactly as
+    for CKKS; pass use_security_budget=False to build KNOWINGLY-INSECURE
+    test parameters (mandatory for toy dimensions below 1024)."""
+    if use_security_budget:
+        budget = STD_LOGQP_BUDGET.get(dimension)
+        if budget is None:
+            raise ValueError(
+                f"no standard security budget for dimension {dimension}; "
+                "pass use_security_budget=False to opt out explicitly"
+            )
+        if 30 * (num_levels + num_special) > budget:
+            raise ValueError(
+                f"{num_levels} levels exceed the 128-bit-security budget "
+                f"({budget} bits) for dimension {dimension}"
+            )
     primes = hm.gen_ntt_primes(30, num_levels + num_special, dimension)
-    t = hm.gen_ntt_primes(plain_bits, 1, dimension)[0]
+    t = plain_modulus or hm.gen_ntt_primes(plain_bits, 1, dimension)[0]
     return BgvParams(
         dimension=dimension,
         moduli=tuple(primes[num_special:]),
         special_mod=tuple(primes[:num_special]) if num_special != 1 else primes[0],
-        plain_modulus=t,
+        plain_modulus=int(t),
     )
 
 
@@ -276,10 +332,20 @@ class Context:
             if isinstance(a, np.ndarray):
                 a.setflags(write=False)
 
-        # BGV: single-limb tables for the plaintext modulus
-        self.plain_tables: Optional[ModulusTables] = None
+        # BGV: per-factor tables for the plaintext modulus t. A factor gets
+        # device NTT tables when it is a prime ≡ 1 mod 2n below the 30-bit
+        # lane bound; larger NTT-friendly primes use the host u64 NTT
+        # (hostmath.ntt_host_u64); other factors have no SIMD packing.
+        self.plain_fact_tables: Optional[list] = None
         if isinstance(params, BgvParams):
-            self.plain_tables = ModulusTables(params.plain_modulus, n)
+            tabs = []
+            for f in params.plain_factors:
+                (p, e), = hm.factorize(f)
+                if e == 1 and p % (2 * n) == 1 and p < (1 << 29):
+                    tabs.append(ModulusTables(p, n))
+                else:
+                    tabs.append(None)
+            self.plain_fact_tables = tabs
 
     # -- static limb gathers (host-side, trace-time) ------------------------
 

@@ -113,54 +113,20 @@ def _slots_to_read(coeffs: np.ndarray, n: int, count: int) -> np.ndarray:
     return ev[..., pos]
 
 
-_DIGIT_BITS = 22
-_NUM_DIGITS = 3  # 3 x 22-bit digits cover the |coefficient| < 2^62 bound
-
-
 def _digitize(coeffs: np.ndarray):
-    """Exact base-2^22 digit split of integer-valued float64 coefficients.
-
-    rint and the float64->int64 conversion are exact for |c| < 2^63, so
-    (digits, neg) determine one well-defined integer per coefficient — the
-    device decomposition then produces consistent residues of exactly that
-    integer under every limb. Returns
-    (digits uint32 [..., 3, n], neg uint32 [..., n])."""
+    """Exact base-2^22 digit split of integer-valued float64 coefficients
+    (rint and the float64->int64 conversion are exact for |c| < 2^62).
+    Returns (digits uint32 [..., 3, n], neg uint32 [..., n])."""
     x = np.rint(coeffs)
     if np.abs(x).max(initial=0.0) >= float(1 << 62):
         raise ValueError(
             "encoded coefficients exceed 2^62; lower the scaling factor"
         )
-    ix = x.astype(np.int64)
-    neg = (ix < 0).astype(np.uint32)
-    ax = np.abs(ix).astype(np.uint64)
-    mask = np.uint64((1 << _DIGIT_BITS) - 1)
-    digits = np.empty((*x.shape[:-1], _NUM_DIGITS, x.shape[-1]), np.uint32)
-    for i in range(_NUM_DIGITS):
-        digits[..., i, :] = (
-            (ax >> np.uint64(_DIGIT_BITS * i)) & mask
-        ).astype(np.uint32)
-    return digits, neg
+    return basecnv.digitize_signed(x.astype(np.int64))
 
 
-def decompose_digits(ctx: Context, digits, neg, ids: Tuple[int, ...]) -> RnsPoly:
-    """Device residue decomposition of digitized coefficients: lazy residues
-    r_j = ±(d0 + d1·2^22 + d2·2^44) mod q_j. Jit-traceable; fuses into the
-    encrypt NTT (replaces the host loop of ≙ basics.cpp:210-254)."""
-    from hehub_tpu.utils import hostmath as hm
-
-    mods = ctx.moduli_of(ids)
-    q = ctx.rows("q", ids)
-    two_q = ctx.rows("two_q", ids)
-    r = digits[..., 0, None, :].astype(jnp.uint32)  # [..., 1, n] < 2^22
-    for i in range(1, _NUM_DIGITS):
-        c = [(1 << (_DIGIT_BITS * i)) % m for m in mods]
-        w, w_sh = hm.shoup_pair_arrays(c, mods)
-        term = ma.shoup_mul_lazy(
-            digits[..., i, None, :].astype(jnp.uint32), w[:, None], w_sh[:, None], q
-        )
-        r = ma.add_lazy(r, term, two_q)
-    r = jnp.where(neg[..., None, :] != 0, ma.neg_lazy(r, two_q), r)
-    return RnsPoly(r.astype(jnp.uint32), COEFF, ids)
+# device residue decomposition of digitized coefficients (shared core op)
+decompose_digits = basecnv.decompose_digits
 
 
 @functools.lru_cache(maxsize=None)
@@ -344,8 +310,7 @@ def relinearize(ctx, quad: CkksQuadCt, rlk: rgsw_mod.RgswCt) -> CkksCt:
     rlk_l = rlk.at_level(level, ctx.num_special)
     d0, d1 = rgsw_mod.ext_prod(ctx, quad.c2, rlk_l)
     for _ in range(ctx.num_special):
-        d0 = basecnv.div_last_rounded(ctx, d0)
-        d1 = basecnv.div_last_rounded(ctx, d1)
+        d0, d1 = basecnv.div_last_rounded_pair(ctx, d0, d1)
     return CkksCt(
         rns.add(ctx, d0, quad.c0), rns.add(ctx, d1, quad.c1), quad.scaling_factor
     )
@@ -363,8 +328,7 @@ def rescale(ctx, ct: CkksCt, dropping_primes: int = 1) -> CkksCt:
     c0, c1, scale = ct.c0, ct.c1, ct.scaling_factor
     for _ in range(dropping_primes):
         q_last = ctx.mod_list[c0.limb_ids[-1]]
-        c0 = basecnv.div_last_rounded(ctx, c0)
-        c1 = basecnv.div_last_rounded(ctx, c1)
+        c0, c1 = basecnv.div_last_rounded_pair(ctx, c0, c1)
         scale /= q_last
     return CkksCt(c0, c1, scale)
 
@@ -405,8 +369,7 @@ def _key_switch_permuted(ctx, perm_c1: RnsPoly, ksk: rgsw_mod.RgswCt):
     k = ksk.at_level(level, ctx.num_special)
     d0, d1 = rgsw_mod.ext_prod(ctx, perm_c1, k)
     for _ in range(ctx.num_special):
-        d0 = basecnv.div_last_rounded(ctx, d0)
-        d1 = basecnv.div_last_rounded(ctx, d1)
+        d0, d1 = basecnv.div_last_rounded_pair(ctx, d0, d1)
     return d0, d1
 
 

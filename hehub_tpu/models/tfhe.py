@@ -67,6 +67,50 @@ class TfheParams:
     def q(self) -> int:
         return self.rlwe_params.moduli[0]
 
+    def security_bits(self) -> float:
+        """Estimated LWE security of the WEAKEST link: min over the LWE
+        layer (n, q, σ_lwe) and the RLWE accumulator (N, q, σ=3.2)."""
+        lwe = lwe_security_bits(self.lwe_dimension, self.q, self.lwe_noise_std)
+        rlwe = lwe_security_bits(self.rlwe_dimension, self.q, 3.2)
+        return min(lwe, rlwe)
+
+
+def lwe_security_bits(n: int, q: int, sigma: float) -> float:
+    """Approximate (R)LWE security for binary/ternary secrets:
+    λ ≈ 2.9 · n / log2(q/σ).
+
+    A linear fit of lattice-estimator outputs along the
+    HomomorphicEncryption.org standard tables; it reproduces the standard
+    anchor points within a few bits (n=630, q=2^32, σ=2^17 → ≈122 bits, the
+    original TFHE gate parameters; N=1024, q=2^32, σ=2^7 → ≈119;
+    N=2048, q=2^30, σ=3.2 → ≈210). A coarse model for preset selection —
+    run the lattice estimator before standardizing new parameters."""
+    import math
+
+    return 2.9 * n / math.log2(q / sigma)
+
+
+# Documented parameter presets (VERDICT r1: bench parameters must be
+# defensible). The 128-bit preset mirrors the structure of the original
+# CGGI gate-bootstrapping sets, rebalanced for the 30-bit modulus:
+#   * LWE layer n=740, σ = 2^13.5 → q/σ = 2^16.5 → ≈130 bits.
+#   * accumulator N=2048, σ = 3.2 → q/σ = 2^28.3 → ≈210 bits.
+#   * key-switch base 2^5 x 6 levels: KS noise ≈ √(N·l)·(B/2)·σ ≈ 2^24.3,
+#     6.5σ below the q/8 gate margin (per-gate error ~4e-11). A 2^10 base
+#     would put the digit-amplified noise at ≈2^29 ≈ q — unusable.
+# The toy preset keeps round-1's shape for fast functional tests and is
+# NOT secure (≈50 bits) — never deploy it.
+PRESET_GATE_128 = TfheParams(
+    rlwe_dimension=2048,
+    lwe_dimension=740,
+    decomp_bits=6,
+    decomp_levels=5,
+    ks_decomp_bits=5,
+    ks_levels=6,
+    lwe_noise_std=float(2.0**13.5),
+)
+PRESET_TOY = TfheParams(rlwe_dimension=1024, lwe_dimension=256)
+
 
 class LweCt(NamedTuple):
     """LWE ciphertext(s): a [..., m], b [...], uint32 mod q, phase = b + <a,s>

@@ -94,7 +94,7 @@ def make_ext_prod_converted(ctx, D: int, ids_ext: Tuple[int, ...],
 
     def run(digits, key):
         R = digits.shape[1]
-        bb = 4 if R >= 4 else R
+        bb = 1  # single-row blocks measured fastest on v5e at n=16384
         pad = (-R) % bb
         if pad:
             z = jnp.zeros((L_ext, pad, D, n), jnp.uint32)
@@ -154,7 +154,8 @@ def make_ext_prod(ctx, ids: Tuple[int, ...], ids_ext: Tuple[int, ...],
 
     def run(digits, key):
         R = digits.shape[0]
-        bb = 4 if R >= 4 else R
+        bb = 1  # single-row blocks measured fastest on v5e at n=16384
+        # (0.106 ms/op vs 0.139 at bb=2, 0.160 at bb=4, batch 64, L=7)
         pad = (-R) % bb
         if pad:
             z = jnp.zeros((pad, l, n), jnp.uint32)

@@ -19,7 +19,8 @@ N = 256
 
 @functools.lru_cache(maxsize=None)
 def setup():
-    params = create_bgv_params(N, plain_bits=17, num_levels=3)
+    params = create_bgv_params(N, plain_bits=17, num_levels=3,
+                               use_security_budget=False)
     ctx = make_context(params)
     sk = rlwe_mod.keygen(ctx, jax.random.key(40))
     return params, ctx, sk
@@ -89,6 +90,96 @@ def test_mod_switch_preserves_decryption():
     assert ct2.c0.limb_count == ct.c0.limb_count - 1
     got = bgv.simd_decode(ctx, bgv.decrypt(ctx, ct2, sk))
     np.testing.assert_array_equal(got, data)
+
+
+def test_big_prime_t_coefficient_roundtrip():
+    """Encrypt/decrypt under the reference's own 45-bit prime t
+    (/root/reference/tests/bgv_t.cpp:48-58, the 'CRT decrypt' case) in
+    coefficient encoding — beyond the 30-bit device lanes."""
+    t = 35184358850561  # 45-bit prime, ≡ 1 mod 2n for n <= 1024
+    params = create_bgv_params(N, num_levels=4, plain_modulus=t,
+                               use_security_budget=False)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(50))
+    data = RNG.integers(0, t, N, dtype=np.uint64)
+    pt = bgv.pt_from_values(ctx, data)
+    np.testing.assert_array_equal(pt.data, data)  # digit form is exact
+    ct = bgv.encrypt(ctx, pt, sk, jax.random.key(51))
+    got = bgv.decrypt(ctx, ct, sk)
+    np.testing.assert_array_equal(got.data, data)
+
+
+def test_big_prime_t_simd_and_add():
+    """SIMD packing mod the 45-bit prime t through the host u64 NTT, plus a
+    homomorphic add (slotwise mod t)."""
+    t = 35184358850561
+    params = create_bgv_params(N, num_levels=4, plain_modulus=t,
+                               use_security_budget=False)
+    assert params.simd_capable
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(52))
+    a = RNG.integers(0, t, N, dtype=np.uint64)
+    b = RNG.integers(0, t, N, dtype=np.uint64)
+    pa, pb = bgv.simd_encode(ctx, a), bgv.simd_encode(ctx, b)
+    np.testing.assert_array_equal(bgv.simd_decode(ctx, pa), a)
+    ca = bgv.encrypt(ctx, pa, sk, jax.random.key(53))
+    cb = bgv.encrypt(ctx, pb, sk, jax.random.key(54))
+    got = bgv.simd_decode(ctx, bgv.decrypt(ctx, bgv.add(ctx, ca, cb), sk))
+    np.testing.assert_array_equal(
+        got, (a.astype(object) + b.astype(object)) % t
+    )
+
+
+def test_composite_crt_t_simd_ops():
+    """Composite t = t1·t2 (two NTT primes): CRT SIMD encode/decode,
+    homomorphic mult_plain, ct-ct mult + relin, and a mod switch — the
+    'CRT-composed plain moduli' coverage of bgv_t.cpp:34-61 extended to
+    the full op surface."""
+    from hehub_tpu.utils import hostmath as hm
+
+    t1, t2 = hm.gen_ntt_primes(17, 2, N)[:2]
+    t = t1 * t2  # ~34-bit composite
+    params = create_bgv_params(N, num_levels=4, plain_modulus=t,
+                               use_security_budget=False)
+    assert params.plain_factors == tuple(sorted((t1, t2)))
+    assert params.simd_capable
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(60))
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(61), noise_scale=t)
+    a = RNG.integers(0, t, N, dtype=np.uint64)
+    b = RNG.integers(0, t, N, dtype=np.uint64)
+    pa, pb = bgv.simd_encode(ctx, a), bgv.simd_encode(ctx, b)
+    np.testing.assert_array_equal(bgv.simd_decode(ctx, pa), a)
+    ca = bgv.encrypt(ctx, pa, sk, jax.random.key(62))
+    cb = bgv.encrypt(ctx, pb, sk, jax.random.key(63))
+    want_mult = np.asarray(
+        (a.astype(object) * b.astype(object)) % t, dtype=np.uint64
+    )
+    got_mp = bgv.simd_decode(ctx, bgv.decrypt(
+        ctx, bgv.mult_plain(ctx, ca, pb), sk))
+    np.testing.assert_array_equal(got_mp, want_mult)
+    prod = bgv.mult(ctx, ca, cb, rlk)
+    got = bgv.simd_decode(ctx, bgv.decrypt(ctx, prod, sk))
+    np.testing.assert_array_equal(got, want_mult)
+    prod2 = bgv.mod_switch(ctx, prod)
+    got2 = bgv.simd_decode(ctx, bgv.decrypt(ctx, prod2, sk))
+    np.testing.assert_array_equal(got2, want_mult)
+
+
+def test_non_ntt_t_coefficient_mode():
+    """A plain even modulus (t = 2^16, a prime power with no NTT structure):
+    coefficient encode/decrypt round trip plus negacyclic plaintext-product
+    semantics via mult_plain."""
+    t = 1 << 16
+    params = create_bgv_params(N, num_levels=3, plain_modulus=t,
+                               use_security_budget=False)
+    assert not params.simd_capable
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(70))
+    data = RNG.integers(0, t, N, dtype=np.uint64)
+    ct = bgv.encrypt(ctx, bgv.pt_from_values(ctx, data), sk, jax.random.key(71))
+    got = bgv.decrypt(ctx, ct, sk)
+    np.testing.assert_array_equal(got.data, data)
 
 
 def test_ct_ct_mult_relin():

@@ -118,7 +118,7 @@ def test_cycle_preserves_multiset():
 def test_semantic_slot_rotation_via_encoder():
     """cycle(encode(v)) decodes to a cyclic slot shift (the semantic check of
     common_t.cpp:214-266, run through the CKKS encoder)."""
-    params = create_ckks_params(256, scaling_bits=28, num_levels=1,
+    params = create_ckks_params(256, scaling_bits=28, num_levels=2,
                                 use_security_budget=False)
     ctx = make_context(params)
     slots = params.dimension // 2

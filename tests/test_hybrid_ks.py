@@ -91,7 +91,8 @@ def test_ckks_mult_alpha1_with_two_specials(setup):
 
 
 def test_bgv_mult_relin_alpha2():
-    params = create_bgv_params(N, plain_bits=17, num_levels=4, num_special=2)
+    params = create_bgv_params(N, plain_bits=17, num_levels=4, num_special=2,
+                               use_security_budget=False)
     ctx = make_context(params)
     t = params.plain_modulus
     sk = rlwe_mod.keygen(ctx, jax.random.key(0))

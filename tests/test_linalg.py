@@ -46,3 +46,27 @@ def test_mv_mul_full_width():
     out_ct = la.matrix_vector_mul(ctx, params, mat, ct, rot_keys)
     got = ckks.decode(ckks.decrypt(ctx, out_ct, sk), params).real
     np.testing.assert_allclose(got, mat @ vec, atol=2**-4)
+
+
+def test_mv_mul_batched():
+    """Batched ciphertexts thread through the circuit: one call on a
+    [B, L, n] tensor matches the per-item results (VERDICT r1 item 5)."""
+    params, ctx, sk = setup()
+    slots = params.dimension // 2
+    h, w = 8, 8
+    rng = np.random.default_rng(5)
+    mat = rng.uniform(-1, 1, (h, w))
+    Bb = 3
+    vecs = rng.uniform(-1, 1, (Bb, w))
+    steps = la.mv_mul_requiring_steps(slots, w)
+    rot_keys = {
+        s: keys_mod.rot_key(ctx, sk, s, jax.random.key(2000 + s))
+        for s in set(steps)
+    }
+    full = np.zeros((Bb, slots), np.complex128)
+    full[:, :w] = vecs
+    ct = ckks.encrypt(ctx, ckks.encode(full, params), sk, jax.random.key(97))
+    assert ct.c0.data.ndim == 3  # [B, L, n]
+    out_ct = la.matrix_vector_mul(ctx, params, mat, ct, rot_keys)
+    got = ckks.decode(ckks.decrypt(ctx, out_ct, sk), params)[..., :h].real
+    np.testing.assert_allclose(got, vecs @ mat.T, atol=2**-6)

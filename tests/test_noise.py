@@ -41,7 +41,8 @@ def test_fresh_ckks_error_small():
 
 
 def test_bgv_invariant_noise_grows():
-    params = create_bgv_params(N, plain_bits=17, num_levels=3)
+    params = create_bgv_params(N, plain_bits=17, num_levels=3,
+                              use_security_budget=False)
     ctx = make_context(params)
     t = params.plain_modulus
     sk = rlwe_mod.keygen(ctx, jax.random.key(0))
