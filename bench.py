@@ -121,10 +121,13 @@ def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
     return t_ee, t_dd, enc_parts, dec_parts
 
 
-def bench_bootstrap(n=4096, num_levels=18, degree=63):
-    """Full CKKS bootstrap at n=4096 on device: returns ms per refresh
-    (trace-based device time of the whole pipeline, linear-transform plans
-    prebuilt by a warmup call)."""
+def bench_bootstrap(n=1024, num_levels=28, degree=63):
+    """Full CKKS bootstrap on device as ONE jitted program: returns ms per
+    refresh (trace-based device time). Uses the production recipe: two-limb
+    working scale, Δ_in=2^26, arcsine correction (circuits/bootstrap.py).
+
+    Default n=1024 (the CI-validated shape) keeps the one-time XLA compile
+    of the ~10^3-op pipeline to minutes; BENCH_BOOT_N=4096 scales up."""
     import jax
 
     from hehub_tpu.circuits import bootstrap as bs
@@ -134,9 +137,9 @@ def bench_bootstrap(n=4096, num_levels=18, degree=63):
     from hehub_tpu.rlwe import rlwe as rlwe_mod
     from hehub_tpu.utils import profiling
 
-    params = bs.make_boot_params(n, num_levels=num_levels)
+    params = bs.make_boot_params(n, num_levels=num_levels, num_special=2)
     ctx = make_context(params)
-    sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=32)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
     rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
     t0 = time.perf_counter()
     rot_keys = {
@@ -148,16 +151,52 @@ def bench_bootstrap(n=4096, num_levels=18, degree=63):
          f"{time.perf_counter()-t0:.1f}s")
     rng = np.random.default_rng(3)
     v = rng.uniform(-1, 1, n // 2)
-    pt = ckks.encode(v, params, scaling_factor=2.0**23,
+    d_in = 2.0**26
+    pt = ckks.encode(v, params, scaling_factor=d_in,
                      level=len(params.moduli) - 1)
     ct = ckks.encrypt(ctx, pt, sk, jax.random.key(7))
-    booter = bs.Bootstrapper(ctx, params, rlk, rot_keys, ck, k_bound=8,
-                             degree=degree)
-    out = booter(ct)  # warmup: builds plans, compiles every stage
-    got = np.real(ckks.decode(ckks.decrypt(ctx, out, sk), params))
+    booter = bs.Bootstrapper(ctx, params, rlk, rot_keys, ck, k_bound=5,
+                             degree=degree, arcsine=True)
+
+    # The whole refresh is ONE jitted program: eager dispatch through a
+    # remote backend would pay an RPC per op. Scales are static Python
+    # floats threaded through the trace; the linear-transform plans are
+    # built (host FFTs) during tracing. NOTE: the plan cache then holds
+    # tracer-born constants bound to this single compiled program — use a
+    # fresh Bootstrapper per jit.
+    ids_in = ct.c0.limb_ids
+    out_meta = {}
+
+    def refresh(c0d, c1d):
+        from hehub_tpu.core import rns as rns_mod
+
+        c = ckks.CkksCt(
+            rns_mod.RnsPoly(c0d, rns_mod.NTT, ids_in),
+            rns_mod.RnsPoly(c1d, rns_mod.NTT, ids_in),
+            float(ct.scaling_factor),
+        )
+        out = booter(c)
+        out_meta["scale"] = out.scaling_factor
+        out_meta["ids"] = out.c0.limb_ids
+        return out.c0.data, out.c1.data
+
+    refresh_jit = jax.jit(refresh)
+    t0 = time.perf_counter()
+    o0, o1 = refresh_jit(ct.c0.data, ct.c1.data)
+    jax.block_until_ready((o0, o1))
+    _err(f"[bench] bootstrap trace+compile+run: {time.perf_counter()-t0:.1f}s")
+    from hehub_tpu.core import rns as rns_mod
+
+    out_ct = ckks.CkksCt(
+        rns_mod.RnsPoly(o0, rns_mod.NTT, out_meta["ids"]),
+        rns_mod.RnsPoly(o1, rns_mod.NTT, out_meta["ids"]),
+        out_meta["scale"],
+    )
+    got = np.real(ckks.decode(ckks.decrypt(ctx, out_ct, sk), params))
     err = float(np.abs(got - v).max())
     _err(f"[bench] bootstrap correctness: max err {err:.3e}")
-    t = profiling.device_time(lambda _: booter(ct), (0,), iters=1)
+    t = profiling.device_time(refresh_jit, (ct.c0.data, ct.c1.data), iters=2,
+                              name="refresh")
     return t * 1e3
 
 
@@ -419,10 +458,15 @@ def main():
 
     # ---- CKKS bootstrap at production shape (n=4096) ------------------------
     boot_ms = None
-    if not small:
-        boot_ms = bench_bootstrap()
-        _err(f"[bench] CKKS bootstrap n=4096: {boot_ms:.1f} ms/refresh "
-             f"(device time, plans cached)")
+    if os.environ.get("BENCH_BOOT") == "1":
+        # opt-in: the one-time XLA compile of the ~10^3-op jitted refresh
+        # takes tens of minutes through the remote-tunnel compile helper
+        # (run with a >=1h timeout); measured numbers are recorded in
+        # BENCHMARKS.md
+        boot_n = int(os.environ.get("BENCH_BOOT_N", "512"))
+        boot_ms = bench_bootstrap(n=boot_n)
+        _err(f"[bench] CKKS bootstrap n={boot_n}: {boot_ms:.1f} ms/refresh "
+             f"(device time, whole pipeline jitted)")
 
     extra = {
         "ckks_bootstrap_ms": boot_ms,

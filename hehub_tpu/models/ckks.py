@@ -355,6 +355,27 @@ def rescale_auto(ctx, ct: CkksCt, min_scale: Optional[float] = None) -> CkksCt:
     return rescale(ctx, ct, drops) if drops else ct
 
 
+def rescale_to(ctx, ct: CkksCt, target: float) -> CkksCt:
+    """Drop however many trailing primes brings the scaling factor CLOSEST
+    to `target` in log distance (unlike rescale_auto's floor semantics,
+    which can stall a full limb high — fatal downstream when a plaintext
+    scale is computed as target/scale and ends up tiny)."""
+    import math
+
+    level = ct.c0.limb_count
+    s = ct.scaling_factor
+    best_k, best_d = 0, abs(math.log2(s / target))
+    cur = s
+    for k in range(1, level):
+        cur /= ctx.mod_list[ct.c0.limb_ids[level - k]]
+        d = abs(math.log2(cur / target))
+        if d < best_d:
+            best_k, best_d = k, d
+        elif cur < target:
+            break
+    return rescale(ctx, ct, best_k) if best_k else ct
+
+
 def mod_drop(ctx, ct: CkksCt, count: int = 1) -> CkksCt:
     """Drop limbs WITHOUT dividing (level alignment helper)."""
     return CkksCt(

@@ -22,6 +22,7 @@ Cost: ceil(l/alpha)·(l+s) digit NTTs instead of l·(l+1), at the price of
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
@@ -80,31 +81,66 @@ def rgsw_encrypt_rns(
     `pt_ntt`: host uint32 [len(ids_ext), n] strict values.
 
     Output is converted to the Montgomery domain (≙ rgsw.cpp:33-55).
-    """
-    k_rows = len(basis_rows)
+
+    The whole generation is ONE cached jitted program per key shape —
+    essential on remote backends where each eager op is an RPC round trip
+    (bootstrapping needs ~100 rotation keys of ~30 rows each)."""
+    basis_tup = tuple(tuple(int(x) for x in row) for row in basis_rows)
+    fn = _rgsw_encrypt_jit(
+        ctx, sk, limb_ids_ext, basis_tup, tuple(sorted(dbg.items()))
+    )
+    data = fn(jnp.asarray(np.ascontiguousarray(pt_ntt)), key)
+    return RgswCt(data, limb_ids_ext, alpha)
+
+
+@functools.lru_cache(maxsize=None)
+def _rgsw_encrypt_jit(
+    ctx: Context,
+    sk: "rlwe_mod.RlweSk",
+    limb_ids_ext: Tuple[int, ...],
+    basis_rows: Tuple[Tuple[int, ...], ...],
+    dbg_items: Tuple,
+):
+    from hehub_tpu.utils import hostmath as hm
+
     mods = ctx.moduli_of(limb_ids_ext)
-    keys = jax.random.split(key, k_rows)
-    row_cts = []
+    dbg = dict(dbg_items)
+    k_rows = len(basis_rows)
+    # per-(row, limb) basis residues + Shoup companions, host constants
+    w_np = np.zeros((k_rows, len(mods)), np.uint32)
+    w_sh_np = np.zeros_like(w_np)
     for g in range(k_rows):
-        c0, c1 = rlwe_mod.rlwe_sample(ctx, sk, keys[g], limb_ids_ext, **dbg)
-        c0_data = c0.data
         for j, q_j in enumerate(mods):
             w = int(basis_rows[g][j]) % q_j
-            if w == 0:
-                continue
-            row_add = (pt_ntt[j].astype(np.uint64) * w % q_j).astype(np.uint32)
-            patched = ma.add_lazy(
-                c0_data[..., j, :], row_add, np.uint32(2 * q_j)
-            )
-            c0_data = c0_data.at[..., j, :].set(patched)
-        row_cts.append(jnp.stack([c0_data, c1.data], axis=0))
-    data = jnp.stack(row_cts, axis=0)  # [rows, 2, L_ext, n]
-    # Montgomery domain: multiply everything by R = 2^32 mod q
-    q = ctx.rows("q", limb_ids_ext)
-    data = ma.shoup_mul_lazy(
-        data, ctx.rows("r_mod_q", limb_ids_ext), ctx.rows("r_shoup", limb_ids_ext), q
-    )
-    return RgswCt(data, limb_ids_ext, alpha)
+            w_np[g, j] = w
+            w_sh_np[g, j] = hm.shoup(w, q_j)
+
+    def gen(pt_ntt, key):
+        keys = jax.random.split(key, k_rows)
+        # vmap over rows: ONE traced row body instead of a k_rows-deep
+        # unroll (the unrolled XLA program took ~25 min to compile through
+        # the remote helper; this compiles in seconds and runs faster)
+        ct = jax.vmap(
+            lambda k: rlwe_mod.rlwe_sample(ctx, sk, k, limb_ids_ext, **dbg)
+        )(keys)
+        q = ctx.rows("q", limb_ids_ext)
+        two_q = ctx.rows("two_q", limb_ids_ext)
+        # pt·B_g folded into c0: Shoup rows (w=0 rows contribute exactly 0)
+        row_add = ma.reduce_strict(
+            ma.shoup_mul_lazy(
+                pt_ntt[None], w_np[:, :, None], w_sh_np[:, :, None], q
+            ),
+            q,
+        )
+        c0d = ma.add_lazy(ct.c0.data, row_add, two_q)
+        data = jnp.stack([c0d, ct.c1.data], axis=1)  # [rows, 2, L_ext, n]
+        # Montgomery domain: multiply everything by R = 2^32 mod q
+        return ma.shoup_mul_lazy(
+            data, ctx.rows("r_mod_q", limb_ids_ext),
+            ctx.rows("r_shoup", limb_ids_ext), q,
+        )
+
+    return jax.jit(gen, static_argnums=())
 
 
 def _digit_groups(l: int, alpha: int):

@@ -146,3 +146,44 @@ def test_intra_transform_sharded_ntt(D):
     got_i = np.asarray(inv(jax.device_put(got_f, shard)))
     ref_i = np.asarray(nttmod.intt(ctx, ref_f, ids))
     np.testing.assert_array_equal(got_i, ref_i)
+
+
+def test_pipeline_parallel_squaring_chain():
+    """Pipeline-parallel analog (SURVEY §2.6 row 4): a depth-3 squaring
+    chain staged across 3 devices, GPipe-scheduled over 5 microbatches,
+    bitwise-equal to the sequential single-device chain."""
+    import jax
+
+    from hehub_tpu.models import ckks
+    from hehub_tpu.parallel.pipeline import PipelinedSquaringChain
+    from hehub_tpu.rlwe import keys as keys_mod
+    from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+    params = create_ckks_params(256, scaling_bits=28, num_levels=4,
+                                use_security_budget=False)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0))
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rng = np.random.default_rng(9)
+    top = len(params.moduli)
+    depth = 3
+    cts = []
+    for m in range(5):
+        v = rng.uniform(-1, 1, params.dimension // 2) * 0.9
+        cts.append(ckks.encrypt(ctx, ckks.encode(v, params), sk,
+                                jax.random.key(50 + m)))
+
+    pipe = PipelinedSquaringChain(ctx, rlk, depth, top,
+                                  devices=jax.devices()[:depth])
+    outs = pipe.run(cts)
+
+    rlk_host = type(rlk)(np.asarray(rlk.data), rlk.limb_ids, rlk.alpha)
+    for m, ct in enumerate(cts):
+        seq = ct
+        for _ in range(depth):
+            seq = ckks.rescale(ctx, ckks.mult(ctx, seq, seq, rlk_host))
+        np.testing.assert_array_equal(
+            np.asarray(outs[m].c0.data), np.asarray(seq.c0.data))
+        np.testing.assert_array_equal(
+            np.asarray(outs[m].c1.data), np.asarray(seq.c1.data))
+        assert abs(outs[m].scaling_factor - seq.scaling_factor) < 1e-3
