@@ -175,3 +175,32 @@ def test_full_bootstrap_1024():
     assert len(booter._plans) == n_plans
     got = np.real(ckks.decode(ckks.decrypt(ctx, out2, sk), params))
     assert got.shape == (512,)
+
+
+@pytest.mark.skipif(os.environ.get("HEHUB_SLOW") != "1",
+                    reason="batched full bootstrap takes minutes; HEHUB_SLOW=1")
+def test_full_bootstrap_batched():
+    """Leading batch dims thread through the whole pipeline (plans, Galois
+    gathers, EvalMod): a [2, L, n] refresh matches per-item accuracy."""
+    n = 128
+    params = bs.make_boot_params(n, num_levels=16, two_limb_scale=False)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rot_keys = {
+        st: keys_mod.rot_key(ctx, sk, st, jax.random.key(100 + st))
+        for st in bs.bootstrap_rotation_steps(params)
+    }
+    ck = keys_mod.conj_key(ctx, sk, jax.random.key(5))
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-1, 1, (2, n // 2))
+    pt = ckks.encode(v, params, scaling_factor=2.0**22,
+                     level=len(params.moduli) - 1)
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(7))
+    assert ct.c0.data.ndim == 3  # [B, L, n]
+    booter = bs.Bootstrapper(ctx, params, rlk, rot_keys, ck, k_bound=5,
+                             degree=63)
+    out = booter(ct)
+    got = np.real(ckks.decode(ckks.decrypt(ctx, out, sk), params))
+    assert got.shape == (2, n // 2)
+    assert np.abs(got - v).max() < 5e-2
