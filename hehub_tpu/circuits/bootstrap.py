@@ -12,13 +12,18 @@ Pipeline (Cheon-Han-Kim-Kim-Song style):
      framework's own encoding layout. The halves cannot stay packed as
      r + i·im because the next stage is nonlinear.
   3. eval_mod: approximate u ↦ (u mod q0)/q0 on each half via a
-     Chebyshev-basis sine approximation, sin(2πu)/(2π), evaluated by BSGS
-     recurrences with every T_k rebased to scale Δ.
+     Chebyshev-basis sine approximation, sin(2πu)/(2π), evaluated by a true
+     baby-step/giant-step split (~2√d ct-ct mults) under the flexible-scale
+     discipline (working scale Δ pinned to a product of limb values,
+     make_boot_params), optionally followed by the arcsine cubic that
+     cancels the sine kernel's linearization error.
   4. slot_to_coeff: the inverse linear map, returning a fresh ciphertext of
      m at a usable level.
 
-All matrices act in slot space; scale management uses the compensating-
-plaintext-scale discipline from circuits/poly_eval.py.
+All matrices act in slot space. Linear transforms run from precomputed
+plans (diagonals encoded once per matrix in a single batched FFT); scale
+management uses exact compensating plaintext scales computed by a static
+two-pass schedule — see cheb_eval.
 """
 
 from __future__ import annotations
