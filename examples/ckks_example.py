@@ -31,8 +31,9 @@ from hehub_tpu.rlwe import rlwe as rlwe_mod
 
 
 def main(total: int = 10000) -> float:
-    params = create_ckks_params(4096, scaling_bits=28, num_levels=2,
-                                use_security_budget=False)
+    # n=4096, 2 levels + 1 special = 90 bits, inside the 109-bit 128-bit-
+    # security budget for this dimension — the budget check stays ON
+    params = create_ckks_params(4096, scaling_bits=28, num_levels=2)
     ctx = make_context(params)
     n = params.dimension
     slots = n // 2

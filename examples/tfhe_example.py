@@ -21,8 +21,14 @@ import numpy as np
 from hehub_tpu.models import tfhe
 
 
-def main():
-    params = tfhe.TfheParams(rlwe_dimension=1024, lwe_dimension=256)
+def main(secure: bool = False):
+    # named presets with documented security estimates (models/tfhe.py):
+    # PRESET_TOY is fast for a demo but NOT secure; pass "secure" on the
+    # command line for the ~128-bit production preset.
+    params = tfhe.PRESET_GATE_128 if secure else tfhe.PRESET_TOY
+    print(f"preset: N={params.rlwe_dimension}, m={params.lwe_dimension}, "
+          f"estimated security ≈ {params.security_bits():.0f} bits"
+          + ("" if secure else "  (TOY parameters — do not deploy)"))
     keys = tfhe.keygen(params, jax.random.key(0))
 
     bits1 = np.array([0, 0, 1, 1], np.uint32)
@@ -44,4 +50,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(secure="secure" in sys.argv[1:])

@@ -359,7 +359,6 @@ class _ChebBasis:
     def __init__(self, ctx, params, y: ckks.CkksCt, degree: int, rlk):
         self.ctx, self.params, self.rlk = ctx, params, rlk
         self.delta = params.initial_scaling_factor
-        self.min_scale = self.delta / 1.5
         B = 1 << max((degree.bit_length() + 1) // 2, 1)
         while B > 2 and B * B > 4 * (degree + 1):
             B //= 2
@@ -495,9 +494,11 @@ def cheb_eval(
             drops = 0
             while s > base_scale * 2.0 and drops < lq - 1:
                 drops += 1
-                s /= ctx.mod_list[tuple(range(len(ctx.params.moduli)))[lq - drops]]
+                s /= ctx.mod_list[lq - drops]
             lvl = min(lq - drops, t_m_lvl)
-        if any(rc):
+        if _eff_deg(rc) >= 1:
+            # a constant-only remainder folds into the parent by add_plain
+            # and constrains no level
             lvl = min(lvl, schedule(rc))
         return lvl
 
@@ -563,6 +564,15 @@ def cheb_eval(
             )
         if not any(rc):
             return prod
+        if _eff_deg(rc) == 0:
+            # constant-only remainder (e.g. coeffs = 1 + T_4 with B > 4):
+            # fold c0 straight into the product at its exact scale
+            pt0 = ckks.encode(
+                np.full(params.dimension // 2, rc[0]), params,
+                scaling_factor=prod.scaling_factor,
+                level=len(params.moduli) - prod.c0.limb_count,
+            )
+            return ckks.add_plain(ctx, prod, pt0)
         rv = eval_node(rc, prod.scaling_factor)
         lvl = min(prod.c0.limb_count, rv.c0.limb_count)
         return ckks.add(
@@ -674,6 +684,11 @@ class Bootstrapper:
     transform plans (the C2S/S2C diagonals are encoded once per
     (level, scale) signature and cached — VERDICT r1 item 5).
 
+    Safe to call under `jax.jit`: plans whose plaintexts were built while
+    tracing hold tracers bound to that single trace, so they are applied
+    but NOT cached (each matrix is used once per refresh, so per-trace
+    caching would buy nothing anyway). Eager refreshes cache normally.
+
     The reference planned this circuit but left the file empty
     (/root/reference/src/circuits/ckks_boot.h, 0 bytes)."""
 
@@ -696,12 +711,21 @@ class Bootstrapper:
 
     def _lt(self, name: str, M: np.ndarray, ct: ckks.CkksCt,
             target_scale: float) -> ckks.CkksCt:
+        import jax
+
         key = (name, ct.c0.limb_count, ct.scaling_factor, target_scale)
         if key not in self._plans:
-            self._plans[key] = make_lt_plan(
+            plan = make_lt_plan(
                 self.ctx, self.params, M, ct.c0.limb_count,
                 ct.scaling_factor, target_scale,
             )
+            probe = next(iter(plan.pts.values())).data
+            if isinstance(probe, jax.core.Tracer):
+                # built while tracing under jit: the plaintexts are tracers
+                # bound to this trace — apply without caching (reusing them
+                # outside the trace would raise UnexpectedTracerError)
+                return apply_lt_plan(self.ctx, plan, ct, self.rot_keys)
+            self._plans[key] = plan
         return apply_lt_plan(self.ctx, self._plans[key], ct, self.rot_keys)
 
     def coeff_to_slot(self, ct: ckks.CkksCt):

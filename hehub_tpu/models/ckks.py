@@ -162,12 +162,24 @@ def encode(
     return CkksPt(RnsPoly(resid, COEFF, ids), float(scale))
 
 
-def decode_limb_count(scale: float, limbs: Tuple[int, ...], moduli) -> int:
+def decode_limb_count(
+    scale: float,
+    limbs: Tuple[int, ...],
+    moduli,
+    max_magnitude: float = 2.0**8,
+) -> int:
     """Smallest K with ∏_{j<K} q_j comfortably above the coefficient
-    magnitude: 2·scale·max|z|·noise-slack (max|z| ≤ 2^8, slack 2^12)."""
+    magnitude: 2·scale·max|z|·noise-slack (slack 2^12).
+
+    Contract: correct only when every decoded slot satisfies
+    |z| ≤ `max_magnitude` (default 2^8). `decode` verifies the bound at
+    runtime via a sentinel limb and transparently re-decodes over the full
+    chain on overflow, so callers of `decode` need not pre-know |z|; pass a
+    larger `max_magnitude` here only to avoid that second pass."""
     import math
 
-    need = math.log2(max(scale, 1.0)) + 21.0
+    need = math.log2(max(scale, 1.0)) + math.log2(max(max_magnitude, 1.0)) \
+        + 13.0
     acc = 0.0
     for k, q in enumerate(moduli):
         acc += math.log2(q)
@@ -202,28 +214,52 @@ def decode(
     mods = ctx.moduli_of(poly.limb_ids)
     K = limbs or decode_limb_count(pt.scaling_factor, poly.limb_ids, mods)
     K = min(K, len(mods))
-    digits = np.asarray(_garner_jit(ctx, poly.limb_ids, K)(poly.data))
-    coeffs = _mixed_radix_to_float(digits, mods[:K]) / pt.scaling_factor
-    return _slots_to_read(coeffs, n, count)
+    # one extra limb as an overflow sentinel: a value that fits in K limbs
+    # has balanced digit K exactly zero; a nonzero sentinel means the
+    # magnitude heuristic underestimated |z| and the K-limb value would
+    # silently alias mod ∏q (ADVICE r2) — re-decode over the full chain.
+    probe = limbs is None and K < len(mods)
+    if probe:
+        digits = np.asarray(_garner_jit(ctx, poly.limb_ids, K + 1)(poly.data))
+        coeffs, top = _mixed_radix_to_float(digits, mods[: K + 1],
+                                            split_top=True)
+        if np.any(top):
+            digits = np.asarray(
+                _garner_jit(ctx, poly.limb_ids, len(mods))(poly.data)
+            )
+            coeffs = _mixed_radix_to_float(digits, mods)
+    else:
+        digits = np.asarray(_garner_jit(ctx, poly.limb_ids, K)(poly.data))
+        coeffs = _mixed_radix_to_float(digits, mods[:K])
+    return _slots_to_read(coeffs / pt.scaling_factor, n, count)
 
 
-def _mixed_radix_to_float(digits: np.ndarray, mods) -> np.ndarray:
+def _mixed_radix_to_float(digits: np.ndarray, mods, split_top: bool = False):
     """Centered float64 value of Garner digits [..., K, n]: a balanced-digit
     carry pass (so small |x| keeps high digits exactly zero — no float64
-    cancellation), then Σ ŷ_j·∏_{m<j} q_m."""
+    cancellation), then Σ ŷ_j·∏_{m<j} q_m.
+
+    split_top=True: the last digit row is treated as an overflow sentinel —
+    it is excluded from the value and the pair (value, balanced top digits)
+    is returned (top all-zero iff the value fits in the first K−1 limbs)."""
     K = digits.shape[-2]
     d = digits.astype(np.int64)
     carry = np.zeros(d.shape[:-2] + d.shape[-1:], np.int64)
     out = np.zeros(d.shape[:-2] + d.shape[-1:], np.float64)
+    top = None
     weight = 1.0
     for j in range(K):
         q = int(mods[j])
         dj = d[..., j, :] + carry
         carry = (dj > q // 2).astype(np.int64)
-        out += (dj - carry * q).astype(np.float64) * weight
-        weight *= float(q)
+        bal = dj - carry * q
+        if split_top and j == K - 1:
+            top = bal
+        else:
+            out += bal.astype(np.float64) * weight
+            weight *= float(q)
     # a final carry out of the top digit is the mod-∏q wrap: drop it
-    return out
+    return (out, top) if split_top else out
 
 
 # ---------------------------------------------------------------------------

@@ -138,15 +138,27 @@ def coprime_factors(n: int) -> Tuple[int, ...]:
     return tuple(p**e for p, e in factorize(n))
 
 
+# mulmod_u64's Barrett quotient needs >= 64-bit mantissas: with 80-bit
+# extended longdouble (x86) the quotient error stays within the +-3t folds
+# below; where longdouble == float64 (aarch64, MSVC) the error for t near
+# 2^62 reaches ~2^10 and would silently corrupt every big-t BGV path, so
+# fall back to an exact 32-bit-split path there.
+_LONGDOUBLE_OK = np.finfo(np.longdouble).nmant >= 63
+
+
 def mulmod_u64(a, b, t: int):
     """Vectorized (a * b) mod t for uint64 numpy arrays with a, b, t < 2^62.
 
     Barrett via 80-bit longdouble: q ≈ floor(a·b/t) with error <= ~2, then
     the remainder is recovered exactly in wrapping uint64 arithmetic and
-    corrected. Used only on host paths (big plaintext moduli)."""
+    corrected. Used only on host paths (big plaintext moduli). Platforms
+    without extended-precision longdouble use an exact split-multiply
+    fallback (see _LONGDOUBLE_OK)."""
     a = np.asarray(a, np.uint64)
     b = np.asarray(b, np.uint64)
     tt = np.uint64(t)
+    if not _LONGDOUBLE_OK:
+        return _mulmod_u64_split(a, b, t)
     q = (a.astype(np.longdouble) * b.astype(np.longdouble) / np.longdouble(t))
     q = q.astype(np.uint64)  # trunc; off by at most ~2 either way
     with np.errstate(over="ignore"):
@@ -157,6 +169,15 @@ def mulmod_u64(a, b, t: int):
     for _ in range(3):
         r = np.where(r >= tt, r - tt, r)
     return r
+
+
+def _mulmod_u64_split(a, b, t: int):
+    """Exact (a * b) mod t with no float involved, for hosts whose
+    longdouble is only 53-bit (aarch64, MSVC): Python-int arithmetic on
+    object arrays — slow but exact, and only ever taken on such hosts."""
+    res = (np.asarray(a, np.uint64).astype(object)
+           * np.asarray(b, np.uint64).astype(object)) % int(t)
+    return res.astype(np.uint64)
 
 
 def ntt_host_u64(values, t: int, n: int, inverse: bool = False):

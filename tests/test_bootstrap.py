@@ -204,3 +204,21 @@ def test_full_bootstrap_batched():
     got = np.real(ckks.decode(ckks.decrypt(ctx, out, sk), params))
     assert got.shape == (2, n // 2)
     assert np.abs(got - v).max() < 5e-2
+
+
+def test_cheb_eval_constant_remainder():
+    """coeffs = 1 + T_4: the remainder node after dividing by the giant T_4
+    is constant-only, which used to crash with min([]) (ADVICE r2) — now it
+    folds into the product via add_plain at the exact product scale."""
+    params = bs.make_boot_params(N, num_levels=13, two_limb_scale=False)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, SLOTS)
+    ct = ckks.encrypt(ctx, ckks.encode(x, params), sk, jax.random.key(9))
+    coeffs = [1.0, 0.0, 0.0, 0.0, 0.5]
+    out = bs.cheb_eval(ctx, params, ct, coeffs, rlk)
+    want = np.polynomial.chebyshev.chebval(x, coeffs)
+    got = np.real(ckks.decode(ckks.decrypt(ctx, out, sk), params))
+    np.testing.assert_allclose(got, want, atol=1e-4)
