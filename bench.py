@@ -18,10 +18,27 @@ Env:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (works through the axon tunnel's
+    remote compile helper — verified: 8.2 s cold / 0.37 s warm). The CKKS
+    bootstrap's ~10^4-op jitted refresh compiles in tens of minutes cold;
+    with the cache primed (scripts/prime_boot_cache.py, run during
+    development) the driver's bench run replays it in seconds."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def _timeit(fn, args, warmup=2, iters=8):
@@ -121,14 +138,19 @@ def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
     return t_ee, t_dd, enc_parts, dec_parts
 
 
-def bench_bootstrap(n=1024, num_levels=28, degree=63):
+def bench_bootstrap(n=4096, num_levels=28, degree=63):
     """Full CKKS bootstrap on device as ONE jitted program: returns ms per
     refresh (trace-based device time). Uses the production recipe: two-limb
     working scale, Δ_in=2^26, arcsine correction (circuits/bootstrap.py).
 
-    Default n=1024 (the CI-validated shape) keeps the one-time XLA compile
-    of the ~10^3-op pipeline to minutes; BENCH_BOOT_N=4096 scales up."""
+    The one-time XLA compile of the ~10^4-op refresh takes tens of minutes
+    through the remote compile helper; the persistent compilation cache
+    (_enable_compile_cache) makes repeat runs — including the driver's —
+    take seconds. The keys are derived from fixed PRNG seeds so the traced
+    program is byte-identical across processes (a cache-hit requirement)."""
     import jax
+
+    _enable_compile_cache()
 
     from hehub_tpu.circuits import bootstrap as bs
     from hehub_tpu.core.context import make_context
@@ -158,46 +180,59 @@ def bench_bootstrap(n=1024, num_levels=28, degree=63):
     booter = bs.Bootstrapper(ctx, params, rlk, rot_keys, ck, k_bound=5,
                              degree=degree, arcsine=True)
 
-    # The whole refresh is ONE jitted program: eager dispatch through a
-    # remote backend would pay an RPC per op. Scales are static Python
-    # floats threaded through the trace; the linear-transform plans are
-    # built (host FFTs) during tracing. NOTE: the plan cache then holds
-    # tracer-born constants bound to this single compiled program — use a
-    # fresh Bootstrapper per jit.
-    ids_in = ct.c0.limb_ids
-    out_meta = {}
-
-    def refresh(c0d, c1d):
-        from hehub_tpu.core import rns as rns_mod
-
-        c = ckks.CkksCt(
-            rns_mod.RnsPoly(c0d, rns_mod.NTT, ids_in),
-            rns_mod.RnsPoly(c1d, rns_mod.NTT, ids_in),
-            float(ct.scaling_factor),
-        )
-        out = booter(c)
-        out_meta["scale"] = out.scaling_factor
-        out_meta["ids"] = out.c0.limb_ids
-        return out.c0.data, out.c1.data
-
-    refresh_jit = jax.jit(refresh)
+    # The whole refresh is ONE jitted program (eager dispatch through a
+    # remote backend would pay an RPC per op) with keys and plan plaintexts
+    # as jit PARAMETERS — baked constants would put hundreds of MB into the
+    # serialized HLO, which the remote-compile endpoint rejects (HTTP 413).
     t0 = time.perf_counter()
-    o0, o1 = refresh_jit(ct.c0.data, ct.c1.data)
-    jax.block_until_ready((o0, o1))
+    refresh = bs.CompiledBootstrapper(booter, ct)
+    _err(f"[bench] bootstrap plan discovery+materialize: "
+         f"{time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    out_ct = refresh(ct)
+    jax.block_until_ready(out_ct.c0.data)
     _err(f"[bench] bootstrap trace+compile+run: {time.perf_counter()-t0:.1f}s")
-    from hehub_tpu.core import rns as rns_mod
-
-    out_ct = ckks.CkksCt(
-        rns_mod.RnsPoly(o0, rns_mod.NTT, out_meta["ids"]),
-        rns_mod.RnsPoly(o1, rns_mod.NTT, out_meta["ids"]),
-        out_meta["scale"],
-    )
     got = np.real(ckks.decode(ckks.decrypt(ctx, out_ct, sk), params))
     err = float(np.abs(got - v).max())
     _err(f"[bench] bootstrap correctness: max err {err:.3e}")
-    t = profiling.device_time(refresh_jit, (ct.c0.data, ct.c1.data), iters=2,
-                              name="refresh")
-    return t * 1e3
+    t = profiling.device_time(
+        refresh._fn, (ct.c0.data, ct.c1.data, refresh._key_data,
+                      refresh._plan_pts),
+        iters=2, name="refresh",
+    )
+    return t * 1e3, err
+
+
+def _bootstrap_subprocess(n: int, timeout_s: float):
+    """Run bench_bootstrap in a child process under a hard timeout, so a
+    cold compile cache degrades to boot_ms=null instead of hanging the
+    whole bench. Returns (ms, max_err) or (None, None)."""
+    code = (
+        "import bench, json; ms, err = bench.bench_bootstrap(n=%d); "
+        "print('BOOT_RESULT ' + json.dumps([ms, err]))" % n
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], cwd=_REPO, capture_output=True,
+            text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired as e:
+        for chunk in (e.stderr or b"", e.stdout or b""):
+            if isinstance(chunk, bytes):
+                chunk = chunk.decode(errors="replace")
+            sys.stderr.write(chunk)
+        _err(f"[bench] bootstrap subprocess exceeded {timeout_s:.0f}s "
+             f"(cold compile cache?) — reporting null")
+        return None, None
+    sys.stderr.write(p.stderr)
+    if p.returncode != 0:
+        _err(f"[bench] bootstrap subprocess failed (rc={p.returncode})")
+        return None, None
+    for line in p.stdout.splitlines():
+        if line.startswith("BOOT_RESULT "):
+            ms, err = json.loads(line[len("BOOT_RESULT "):])
+            return ms, err
+    return None, None
 
 
 def rotation_grid():
@@ -442,13 +477,14 @@ def main():
     ct2 = tfhe.lwe_encrypt(tparams, tfhe.encode_bit(tparams, bits[1]),
                            tkeys.lwe_s, jax.random.key(11))
 
-    @jax.jit
-    def nand_batch(a1, b1, a2, b2):
-        out = tfhe.nand_gate(tparams, tfhe.LweCt(a1, b1), tfhe.LweCt(a2, b2),
-                             tkeys)
-        return out.a, out.b
-
-    t_gate = _timeit(nand_batch, (ct1.a, ct1.b, ct2.a, ct2.b), iters=2)
+    # keys + monomial tables enter as jit parameters (make_nand docstring).
+    # batch 64 measured optimal on v5e (1.87 ms/gate vs 2.13 at 256).
+    nand = tfhe.make_nand(tparams, tkeys)
+    out = nand(ct1, ct2)
+    got = np.asarray(tfhe.lwe_decrypt_bit(tparams, out, tkeys.lwe_s))
+    assert np.array_equal(got, 1 - (bits[0] & bits[1])), "NAND incorrect"
+    t_gate = _timeit(nand.fn, (ct1.a, ct1.b, ct2.a, ct2.b, nand.big),
+                     iters=2)
     gates_per_sec = gate_batch / t_gate
     _err(
         f"[bench] TFHE bootstrapped NAND (N={tparams.rlwe_dimension}, "
@@ -457,19 +493,25 @@ def main():
     )
 
     # ---- CKKS bootstrap at production shape (n=4096) ------------------------
+    # On by default (BENCH_BOOT=0 disables). Runs in a subprocess under a
+    # hard timeout: with the compile cache primed it takes ~2 min; on a cold
+    # cache the subprocess is killed and the rest of the bench still
+    # completes with boot_ms = null rather than blowing the driver's budget.
     boot_ms = None
-    if os.environ.get("BENCH_BOOT") == "1":
-        # opt-in: the one-time XLA compile of the ~10^3-op jitted refresh
-        # takes tens of minutes through the remote-tunnel compile helper
-        # (run with a >=1h timeout); measured numbers are recorded in
-        # BENCHMARKS.md
-        boot_n = int(os.environ.get("BENCH_BOOT_N", "512"))
-        boot_ms = bench_bootstrap(n=boot_n)
-        _err(f"[bench] CKKS bootstrap n={boot_n}: {boot_ms:.1f} ms/refresh "
-             f"(device time, whole pipeline jitted)")
+    boot_err = None
+    if os.environ.get("BENCH_BOOT", "0" if small else "1") == "1":
+        boot_n = int(os.environ.get("BENCH_BOOT_N", "4096"))
+        budget = float(os.environ.get("BENCH_BOOT_TIMEOUT", "1500"))
+        boot_ms, boot_err = _bootstrap_subprocess(boot_n, budget)
+        if boot_ms is not None:
+            _err(f"[bench] CKKS bootstrap n={boot_n}: {boot_ms:.1f} "
+                 f"ms/refresh (device time, whole pipeline jitted; "
+                 f"max err {boot_err:.2e})")
 
     extra = {
         "ckks_bootstrap_ms": boot_ms,
+        "ckks_bootstrap_max_err": boot_err,
+        "ckks_bootstrap_n": int(os.environ.get("BENCH_BOOT_N", "4096")),
         "tfhe_gates_per_sec": gates_per_sec,
         "ntt_fwd_us_per_transform": t_fwd * 1e6 / (batch * L),
         "intt_us_per_transform": t_inv * 1e6 / (batch * L),

@@ -29,7 +29,7 @@ two-pass schedule — see cheb_eval.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -122,6 +122,7 @@ class LinearTransformPlan:
         M: np.ndarray,
         level: int,
         pt_scale: float,
+        host_only: bool = False,
     ):
         s = params.dimension // 2
         if M.shape != (s, s):
@@ -129,6 +130,7 @@ class LinearTransformPlan:
         self.slot_count = s
         self.level = level
         self.pt_scale = float(pt_scale)
+        self.dimension = params.dimension
         B, G = _bsgs_split(s)
         self.B, self.G = B, G
         idx = np.arange(s)
@@ -146,15 +148,64 @@ class LinearTransformPlan:
                     continue
                 keys.append((g, b))
                 diags.append(np.roll(diag, (g * B) % s))
-        level_tag = len(params.moduli) - level
+        self._keys = keys
+        self._diags = np.stack(diags)
+        self._level_tag = len(params.moduli) - level
+        self._limb_ids = tuple(range(level))
+        self.pts = None
+        if not host_only:
+            self.materialize(ctx, params)
+
+    def materialize(self, ctx: Context, params: CkksParams) -> None:
+        """Encode the diagonals (one batched host FFT) and NTT them on
+        device. Split out from __init__ so host_only plans — built during
+        CompiledBootstrapper's eval_shape discovery — can be filled in
+        eagerly afterwards."""
+        if self.pts is not None:
+            return
+        import jax
+
         batched = ckks.encode(
-            np.stack(diags), params, scaling_factor=pt_scale, level=level_tag
+            self._diags, params, scaling_factor=self.pt_scale,
+            level=self._level_tag,
         )
-        pt_ntt = rns.to_ntt(ctx, batched.poly)  # one batched NTT [D, L, n]
+        to_ntt = jax.jit(
+            lambda d: rns.to_ntt(
+                ctx, rns.RnsPoly(d, rns.COEFF, self._limb_ids)
+            ).data
+        )
+        pt_ntt = to_ntt(batched.poly.data)  # one batched NTT [D, L, n]
         self.pts = {
-            gb: rns.RnsPoly(pt_ntt.data[i], rns.NTT, pt_ntt.limb_ids)
-            for i, gb in enumerate(keys)
+            gb: rns.RnsPoly(pt_ntt[i], rns.NTT, self._limb_ids)
+            for i, gb in enumerate(self._keys)
         }
+
+    def shape_view(self) -> "LinearTransformPlan":
+        """A copy whose plaintexts are zero arrays of the right shape — for
+        abstract tracing (jax.eval_shape) where no values are computed."""
+        import copy
+
+        import jax.numpy as jnp
+
+        view = copy.copy(self)
+        zero = jnp.zeros((self.level, self.dimension), jnp.uint32)
+        view.pts = {
+            gb: rns.RnsPoly(zero, rns.NTT, self._limb_ids)
+            for gb in self._keys
+        }
+        return view
+
+    def traced_view(self, pts_data: Dict) -> "LinearTransformPlan":
+        """A copy whose plaintexts wrap externally supplied (traced) arrays
+        — how CompiledBootstrapper passes plans as jit parameters."""
+        import copy
+
+        view = copy.copy(self)
+        view.pts = {
+            gb: rns.RnsPoly(pts_data[gb], rns.NTT, self._limb_ids)
+            for gb in self._keys
+        }
+        return view
 
 
 def make_lt_plan(
@@ -164,12 +215,36 @@ def make_lt_plan(
     level: int,
     ct_scale: float,
     target_scale: float = None,
+    host_only: bool = False,
 ) -> LinearTransformPlan:
     """Plan for applying M to ciphertexts of `ct_scale` at `level` limbs so
     the rescaled output lands at (target_scale or Δ·q_drop)/q_drop."""
     q_drop = ctx.mod_list[level - 1]
     target = target_scale or params.initial_scaling_factor * q_drop
-    return LinearTransformPlan(ctx, params, M, level, target / ct_scale)
+    return LinearTransformPlan(ctx, params, M, level, target / ct_scale,
+                               host_only=host_only)
+
+
+def make_babies(
+    ctx: Context,
+    ct: ckks.CkksCt,
+    rot_keys: Dict[int, rgsw_mod.RgswCt],
+    plans: Sequence[LinearTransformPlan],
+) -> Dict[int, ckks.CkksCt]:
+    """Baby rotations z_b = rot(z, −b) needed by any of `plans` — computed
+    ONCE and shared across every plan applied to the same input (C2S applies
+    two matrices to ct and two to conj(ct): sharing halves the baby
+    rotations, the dominant key-switch count of the linear stages)."""
+    s = plans[0].slot_count
+    B = max(p.B for p in plans)
+    needed = {b for p in plans for (_, b) in p.pts}
+    babies = {0: ct}
+    for b in range(1, B):
+        if b not in needed:
+            continue
+        step = (-b) % s
+        babies[b] = ckks.rotate(ctx, ct, rot_keys[step], step)
+    return babies
 
 
 def apply_lt_plan(
@@ -177,23 +252,20 @@ def apply_lt_plan(
     plan: LinearTransformPlan,
     ct: ckks.CkksCt,
     rot_keys: Dict[int, rgsw_mod.RgswCt],
+    babies: Optional[Dict[int, ckks.CkksCt]] = None,
 ) -> ckks.CkksCt:
     """Homomorphic z ↦ M·z on slots by the BSGS diagonal method with
     precomputed diagonals. Uses B+G−2 rotations instead of s−1 (B·G ≥ s);
-    consumes one level; batched ciphertexts broadcast through."""
+    consumes one level; batched ciphertexts broadcast through. Pass
+    `babies` (from make_babies) to share baby rotations across plans."""
     s = plan.slot_count
     B, G = plan.B, plan.G
     if ct.c0.limb_count != plan.level:
         raise ValueError(
             f"plan built for level {plan.level}, ciphertext at {ct.c0.limb_count}"
         )
-    # baby rotations z_b = rot(z, -b): slot j holds z[(j+b) mod s]
-    babies = {0: ct}
-    for b in range(1, B):
-        if not any((g, b) in plan.pts for g in range(G)):
-            continue
-        step = (-b) % s
-        babies[b] = ckks.rotate(ctx, ct, rot_keys[step], step)
+    if babies is None:
+        babies = make_babies(ctx, ct, rot_keys, [plan])
 
     acc = None
     for g in range(G):
@@ -445,17 +517,6 @@ def cheb_eval(
     d = _eff_deg(coeffs)
     if d < 1:
         raise ValueError("need degree >= 1")
-    delta0 = params.initial_scaling_factor
-    if delta0 * delta0 / 4.0 >= float(1 << 62) and any(
-        coeffs[k] != 0.0 for k in range(0, d + 1, 2)
-    ):
-        # leaves emit unrescaled products at ≈Δ²/4; a constant term would
-        # need a plaintext at that scale, which only odd series avoid
-        raise ValueError(
-            "two-limb working scales require an ODD Chebyshev series "
-            "(sine-kernel fits on symmetric intervals are odd; prune even "
-            "coefficients or use a single-limb scale)"
-        )
     alpha = 2.0 / (b - a)
     beta = -(a + b) / (b - a)
     y = pe.poly_eval(ctx, params, ct, [beta, alpha], rlk)
@@ -502,9 +563,16 @@ def cheb_eval(
             lvl = min(lvl, schedule(rc))
         return lvl
 
-    def eval_node(c: List[float], target: float) -> ckks.CkksCt:
-        """Σ c_k T_k, UNRESCALED, at scale exactly `target` (≈Δ²/4, so leaf
-        plaintexts carry ≈Δ precision). The top caller rescales."""
+    def eval_node(c: List[float], target: float):
+        """(ct, const): Σ_{k≥1} c_k T_k UNRESCALED at scale exactly `target`
+        (≈Δ²/4, so leaf plaintexts carry ≈Δ precision), plus a DEFERRED
+        additive constant in value units. Constants cannot be added at the
+        unrescaled ≈Δ²/4 scale when Δ is multi-limb (the plaintext would
+        need coefficients past the 2^62 encode bound), so they ride up the
+        tree: a mult node folds its q-child's constant in as const·T_m (an
+        encodable plaintext product) and the root adds what remains after
+        the final rescale. This is what admits EVEN Chebyshev series — the
+        cosine kernels of the double-angle EvalMod — under two-limb scales."""
         deg = _eff_deg(c)
         if deg < basis.B:  # leaf: plaintext products only
             lvls = [basis.T[k].c0.limb_count for k in range(1, deg + 1)
@@ -522,14 +590,7 @@ def cheb_eval(
                 )
                 term = ckks.mult_plain(ctx, t_k, pt)
                 acc = term if acc is None else ckks.add(ctx, acc, term)
-            if c[0] != 0.0:
-                pt0 = ckks.encode(
-                    np.full(params.dimension // 2, c[0]), params,
-                    scaling_factor=target,
-                    level=len(params.moduli) - lvl,
-                )
-                acc = ckks.add_plain(ctx, acc, pt0)
-            return acc
+            return acc, c[0]
         m = max(g for g in basis.giants if g <= deg)
         qc, rc = _cheb_divmod(c, m)
         t_m = basis.T[m]
@@ -555,35 +616,49 @@ def cheb_eval(
                 s /= qv
                 prod_q *= qv
             t_q = target * prod_q / t_m.scaling_factor
-            q_un = eval_node(qc, t_q)
+            q_un, q_const = eval_node(qc, t_q)
             q_resc = ckks.rescale(ctx, q_un, drops) if drops else q_un
             lvl = min(q_resc.c0.limb_count, t_m.c0.limb_count)
+            t_m_al = pe.align_level(ctx, t_m, lvl)
             prod = ckks.mult(
-                ctx, pe.align_level(ctx, q_resc, lvl),
-                pe.align_level(ctx, t_m, lvl), rlk,
+                ctx, pe.align_level(ctx, q_resc, lvl), t_m_al, rlk,
             )
+            if q_const != 0.0:
+                # deferred q-constant contributes q_const·T_m: an ordinary
+                # plaintext product at prod's scale (pt scale ≈ Δ/4)
+                pt_c = ckks.encode(
+                    np.full(params.dimension // 2, q_const), params,
+                    scaling_factor=prod.scaling_factor
+                    / t_m_al.scaling_factor,
+                    level=len(params.moduli) - lvl,
+                )
+                prod = ckks.add(ctx, prod,
+                                ckks.mult_plain(ctx, t_m_al, pt_c))
         if not any(rc):
-            return prod
+            return prod, 0.0
         if _eff_deg(rc) == 0:
-            # constant-only remainder (e.g. coeffs = 1 + T_4 with B > 4):
-            # fold c0 straight into the product at its exact scale
-            pt0 = ckks.encode(
-                np.full(params.dimension // 2, rc[0]), params,
-                scaling_factor=prod.scaling_factor,
-                level=len(params.moduli) - prod.c0.limb_count,
-            )
-            return ckks.add_plain(ctx, prod, pt0)
-        rv = eval_node(rc, prod.scaling_factor)
+            # constant-only remainder (e.g. coeffs = 1 + T_4 with B > 4)
+            return prod, rc[0]
+        rv, r_const = eval_node(rc, prod.scaling_factor)
         lvl = min(prod.c0.limb_count, rv.c0.limb_count)
-        return ckks.add(
+        out = ckks.add(
             ctx, pe.align_level(ctx, prod, lvl), pe.align_level(ctx, rv, lvl)
         )
+        return out, r_const
 
-    out = eval_node(coeffs, base_scale)
+    out, const = eval_node(coeffs, base_scale)
     # the unrescaled root sits at ≈Δ²/4: rescale to land as close to Δ as
     # the limb geometry allows (floor semantics can stall a limb high,
     # which starves downstream compensating plaintext scales of precision)
-    return ckks.rescale_to(ctx, out, delta)
+    out = ckks.rescale_to(ctx, out, delta)
+    if const != 0.0:
+        pt0 = ckks.encode(
+            np.full(params.dimension // 2, const), params,
+            scaling_factor=out.scaling_factor,
+            level=len(params.moduli) - out.c0.limb_count,
+        )
+        out = ckks.add_plain(ctx, out, pt0)
+    return out
 
 
 def eval_mod(
@@ -593,50 +668,120 @@ def eval_mod(
     rlk: rgsw_mod.RgswCt,
     k_bound: int,
     degree: int = 31,
-    arcsine: bool = False,
+    arcsine=False,
+    double_angle: int = 0,
 ) -> ckks.CkksCt:
-    """u ↦ (u mod 1) on slots for u = m/q0 + I, |I| ≤ k_bound, |m/q0| small:
-    approximates sin(2πu)/(2π) on [−k_bound−½, k_bound+½].
+    """u ↦ (u mod 1) on slots for u = m/q0 + I, |I| ≤ k_bound, |m/q0| small.
 
-    `arcsine`: post-compose w ↦ arcsin(2πw)/(2π) ≈ w + (2π)²w³/6 (one cubic,
-    two levels), cancelling the sine kernel's linearization error — the
-    residual drops from (2πx)³/6 to ~(2πx)⁵/40, so the fractional part x may
-    be ~16x larger (a larger Δ_in) at the same accuracy."""
+    double_angle=0: approximate sin(2πu)/(2π) on [−k_bound−½, k_bound+½]
+    directly by a degree-`degree` Chebyshev fit.
+
+    double_angle=r>0 (Han–Ki): approximate cos(2π(u−¼)/2^r) on the 2^r-fold
+    COMPRESSED interval — a much lower degree suffices — then apply r
+    on-ciphertext double-angle squarings cos(2θ) = 2cos²θ − 1, landing on
+    cos(2π(u−¼)) = sin(2πu). One ct-ct square per doubling; the cosine
+    series is even, which cheb_eval supports via deferred constants.
+
+    `arcsine`: post-compose w ↦ arcsin(2πw)/(2π) truncated at the given odd
+    degree (True ≙ 3; 5 and 7 supported), cancelling the sine kernel's
+    linearization error: the residual drops from (2πx)³/6 to the first
+    omitted series term, so the fractional part x may be larger (a larger
+    Δ_in) at the same accuracy."""
     r = k_bound + 0.5
-    c = chebyshev_coeffs(lambda x: np.sin(2 * np.pi * x) / (2 * np.pi),
-                         -r, r, degree)
-    out = cheb_eval(ctx, params, ct, c, rlk, interval=(-r, r))
+    if double_angle:
+        fold = float(1 << double_angle)
+        c = chebyshev_coeffs(
+            lambda x: np.cos(2 * np.pi * (x - 0.25) / fold), -r, r, degree
+        )
+        out = cheb_eval(ctx, params, ct, c, rlk, interval=(-r, r))
+        delta = params.initial_scaling_factor
+        for _ in range(double_angle):
+            sq = ckks.mult(ctx, out, out, rlk)
+            sq = ckks.rescale_to(ctx, ckks.add(ctx, sq, sq), delta)
+            pt1 = ckks.encode(
+                np.full(params.dimension // 2, 1.0), params,
+                scaling_factor=sq.scaling_factor,
+                level=len(params.moduli) - sq.c0.limb_count,
+            )
+            out = ckks.sub_plain(ctx, sq, pt1)  # cos(2θ) = 2cos²θ − 1
+        # out = sin(2πu); reinterpret the scale to divide by 2π for free
+        out = ckks.CkksCt(out.c0, out.c1,
+                          out.scaling_factor * (2.0 * np.pi))
+    else:
+        c = chebyshev_coeffs(lambda x: np.sin(2 * np.pi * x) / (2 * np.pi),
+                             -r, r, degree)
+        out = cheb_eval(ctx, params, ct, c, rlk, interval=(-r, r))
     if arcsine:
-        out = _arcsine_correct(ctx, params, out, rlk)
+        out = _arcsine_correct(ctx, params, out, rlk,
+                               3 if arcsine is True else int(arcsine))
     return out
 
 
-def _arcsine_correct(
-    ctx: Context, params: CkksParams, w: ckks.CkksCt, rlk: rgsw_mod.RgswCt
-) -> ckks.CkksCt:
-    """w + ((2π)²/6)·w³ under the flexible-scale discipline (2 levels).
+# odd Taylor coefficients of arcsin(2πw)/(2π) beyond the identity term
+_ARCSINE_C3 = (2.0 * np.pi) ** 2 / 6.0
+_ARCSINE_C5 = 3.0 * (2.0 * np.pi) ** 4 / 40.0
+_ARCSINE_C7 = 15.0 * (2.0 * np.pi) ** 6 / 336.0
 
-    The cubic's coefficient is applied for free by REINTERPRETING the
-    product's scale (a ciphertext of value w³ at scale S equals value c·w³
-    at scale S/c, exactly); the linear term is one compensating-scale
-    plaintext multiply."""
-    c3 = (2.0 * np.pi) ** 2 / 6.0
+
+def _arcsine_correct(
+    ctx: Context, params: CkksParams, w: ckks.CkksCt, rlk: rgsw_mod.RgswCt,
+    degree: int = 3,
+) -> ckks.CkksCt:
+    """w + a₃w³ [+ a₅w⁵ [+ a₇w⁷]] under the flexible-scale discipline.
+
+    Written as w + w³·g(w²) with g = a₃ [+ w²(a₅ [+ a₇w²])], so degree 3
+    costs 2 ct-ct mults, degree 5 costs 3, degree 7 costs 4. Constant
+    multiples are applied for free by REINTERPRETING scales (a ciphertext
+    of value x at scale S equals value c·x at scale S/c, exactly); the
+    linear term is one compensating-scale plaintext multiply."""
+    if degree not in (3, 5, 7):
+        raise ValueError("arcsine degree must be 3, 5, or 7")
     delta = params.initial_scaling_factor
-    sq = ckks.rescale_to(ctx, ckks.mult(ctx, w, w, rlk), delta)
-    lvl = min(sq.c0.limb_count, w.c0.limb_count)
+    slots = params.dimension // 2
+
+    def lift_const(ct_in, const):
+        """ct_in (value x, scale S) -> value const + c·x via reinterpret."""
+        return ckks.add_plain(
+            ctx, ct_in,
+            ckks.encode(np.full(slots, const), params,
+                        scaling_factor=ct_in.scaling_factor,
+                        level=len(params.moduli) - ct_in.c0.limb_count),
+        )
+
+    sq = ckks.rescale_to(ctx, ckks.mult(ctx, w, w, rlk), delta)  # w²
+    if degree == 3:
+        g = None  # g(w²) = a₃: fold into the cube by scale reinterpretation
+    else:
+        if degree == 5:
+            inner = ckks.CkksCt(sq.c0, sq.c1,
+                                sq.scaling_factor / _ARCSINE_C5)
+            g = lift_const(inner, _ARCSINE_C3)  # a₃ + a₅w², no mult spent
+        else:  # degree 7: g = a₃ + w²(a₅ + a₇w²)
+            inner = ckks.CkksCt(sq.c0, sq.c1,
+                                sq.scaling_factor / _ARCSINE_C7)
+            h = lift_const(inner, _ARCSINE_C5)  # a₅ + a₇w²
+            lvl = min(sq.c0.limb_count, h.c0.limb_count)
+            gp = ckks.mult(ctx, pe.align_level(ctx, sq, lvl),
+                           pe.align_level(ctx, h, lvl), rlk)
+            g = lift_const(ckks.rescale_to(ctx, gp, delta), _ARCSINE_C3)
+    if g is not None:
+        lvl = min(sq.c0.limb_count, g.c0.limb_count)
+        sg = ckks.mult(ctx, pe.align_level(ctx, sq, lvl),
+                       pe.align_level(ctx, g, lvl), rlk)  # w²·g
+        sg = ckks.rescale_to(ctx, sg, delta)
+    else:
+        sg = ckks.CkksCt(sq.c0, sq.c1, sq.scaling_factor / _ARCSINE_C3)
+    lvl = min(sg.c0.limb_count, w.c0.limb_count)
     w_al = pe.align_level(ctx, w, lvl)
-    cube = ckks.mult(
-        ctx, pe.align_level(ctx, sq, lvl), w_al, rlk
-    )  # value w³ at scale S3, unrescaled
-    cube_c3 = ckks.CkksCt(cube.c0, cube.c1, cube.scaling_factor / c3)
-    s = cube_c3.scaling_factor
+    cube = ckks.mult(ctx, pe.align_level(ctx, sg, lvl), w_al, rlk)
+    s = cube.scaling_factor  # value w³·g at scale s, unrescaled
     pt = ckks.encode(
-        np.full(params.dimension // 2, 1.0), params,
+        np.full(slots, 1.0), params,
         scaling_factor=s / w_al.scaling_factor,
         level=len(params.moduli) - lvl,
     )
     term1 = ckks.mult_plain(ctx, w_al, pt)  # value w at scale s
-    return ckks.rescale_to(ctx, ckks.add(ctx, cube_c3, term1), delta)
+    return ckks.rescale_to(ctx, ckks.add(ctx, cube, term1), delta)
 
 
 # ---------------------------------------------------------------------------
@@ -701,32 +846,72 @@ class Bootstrapper:
         conj_key: rgsw_mod.RgswCt,
         k_bound: int,
         degree: int = 31,
-        arcsine: bool = False,
+        arcsine=False,
+        double_angle: int = 0,
     ):
         self.ctx, self.params = ctx, params
         self.rlk, self.rot_keys, self.conj_key = rlk, rot_keys, conj_key
         self.k_bound, self.degree = k_bound, degree
         self.arcsine = arcsine
+        self.double_angle = double_angle
         self._plans: Dict = {}
+        self._discover = False  # eval_shape pass: record plan signatures
+        self._strict = False    # compiled trace: plan misses are bugs
 
-    def _lt(self, name: str, M: np.ndarray, ct: ckks.CkksCt,
-            target_scale: float) -> ckks.CkksCt:
+    def _plan(self, name: str, M: np.ndarray, ct: ckks.CkksCt,
+              target_scale: float) -> LinearTransformPlan:
         import jax
 
         key = (name, ct.c0.limb_count, ct.scaling_factor, target_scale)
-        if key not in self._plans:
+        if key in self._plans:
+            plan = self._plans[key]
+            return plan.shape_view() if plan.pts is None else plan
+        if self._strict:
+            raise RuntimeError(
+                f"plan {key} was not discovered before compilation — "
+                f"CompiledBootstrapper's eval_shape pass and the compiled "
+                f"trace diverged"
+            )
+        if self._discover:
+            # eval_shape discovery: record the signature, skip the encode
+            # (host FFT) and device work entirely — the trace only needs
+            # correctly-shaped zero plaintexts
             plan = make_lt_plan(
                 self.ctx, self.params, M, ct.c0.limb_count,
-                ct.scaling_factor, target_scale,
+                ct.scaling_factor, target_scale, host_only=True,
             )
-            probe = next(iter(plan.pts.values())).data
-            if isinstance(probe, jax.core.Tracer):
-                # built while tracing under jit: the plaintexts are tracers
-                # bound to this trace — apply without caching (reusing them
-                # outside the trace would raise UnexpectedTracerError)
-                return apply_lt_plan(self.ctx, plan, ct, self.rot_keys)
             self._plans[key] = plan
-        return apply_lt_plan(self.ctx, self._plans[key], ct, self.rot_keys)
+            return plan.shape_view()
+        plan = make_lt_plan(
+            self.ctx, self.params, M, ct.c0.limb_count,
+            ct.scaling_factor, target_scale,
+        )
+        probe = next(iter(plan.pts.values())).data
+        if isinstance(probe, jax.core.Tracer):
+            # built while tracing under a direct jax.jit of the refresh:
+            # the plaintexts are tracers bound to this trace — use without
+            # caching (reusing them outside the trace would raise
+            # UnexpectedTracerError). NOTE: this path embeds the diagonal
+            # digits as HLO constants; for large rings use
+            # CompiledBootstrapper, which passes them as parameters.
+            return plan
+        self._plans[key] = plan
+        return plan
+
+    def _lt(self, name: str, M: np.ndarray, ct: ckks.CkksCt,
+            target_scale: float) -> ckks.CkksCt:
+        plan = self._plan(name, M, ct, target_scale)
+        return apply_lt_plan(self.ctx, plan, ct, self.rot_keys)
+
+    def _lt_pair(self, spec1, spec2, ct: ckks.CkksCt, target_scale: float):
+        """Apply two matrices to the SAME input with shared baby rotations."""
+        p1 = self._plan(spec1[0], spec1[1], ct, target_scale)
+        p2 = self._plan(spec2[0], spec2[1], ct, target_scale)
+        babies = make_babies(self.ctx, ct, self.rot_keys, [p1, p2])
+        return (
+            apply_lt_plan(self.ctx, p1, ct, self.rot_keys, babies),
+            apply_lt_plan(self.ctx, p2, ct, self.rot_keys, babies),
+        )
 
     def coeff_to_slot(self, ct: ckks.CkksCt):
         E, F, G, H, _, _ = _c2s_s2c_matrices(self.params.dimension)
@@ -734,10 +919,10 @@ class Bootstrapper:
         lvl = ct.c0.limb_count
         q_drop = self.ctx.mod_list[lvl - 1]
         target = self.params.initial_scaling_factor * q_drop
-        r = ckks.add(self.ctx, self._lt("E", E, ct, target),
-                     self._lt("F", F, ct_conj, target))
-        im = ckks.add(self.ctx, self._lt("G", G, ct, target),
-                      self._lt("H", H, ct_conj, target))
+        e_ct, g_ct = self._lt_pair(("E", E), ("G", G), ct, target)
+        f_ct, h_ct = self._lt_pair(("F", F), ("H", H), ct_conj, target)
+        r = ckks.add(self.ctx, e_ct, f_ct)
+        im = ckks.add(self.ctx, g_ct, h_ct)
         return r, im
 
     def slot_to_coeff(self, ct_re: ckks.CkksCt, ct_im: ckks.CkksCt):
@@ -760,9 +945,9 @@ class Bootstrapper:
         raised = mod_raise(ctx, ct)  # scale q0, value t/q0
         z_re, z_im = self.coeff_to_slot(raised)
         w_re = eval_mod(ctx, params, z_re, self.rlk, self.k_bound,
-                        self.degree, self.arcsine)
+                        self.degree, self.arcsine, self.double_angle)
         w_im = eval_mod(ctx, params, z_im, self.rlk, self.k_bound,
-                        self.degree, self.arcsine)
+                        self.degree, self.arcsine, self.double_angle)
         out = self.slot_to_coeff(w_re, w_im)
         # The output's coefficients represent m/q0 at the working scale Δ_w,
         # so they equal m·(Δ_w/q0): the message v = m/Δ_in therefore sits at
@@ -787,3 +972,108 @@ def bootstrap(
     refresh repeatedly should hold a Bootstrapper to reuse its plans)."""
     return Bootstrapper(ctx, params, rlk, rot_keys, conj_key, k_bound,
                         degree)(ct)
+
+
+class CompiledBootstrapper:
+    """The whole refresh as ONE jitted program whose keys and linear-
+    transform plaintexts enter as jit PARAMETERS, not baked constants.
+
+    Why: jax embeds every non-splat closure constant — numpy or device
+    array alike — as a literal in the serialized HLO. A refresh closes over
+    hundreds of MB of rotation keys and diagonal plaintexts, and the axon
+    remote-compile endpoint rejects such request bodies (HTTP 413); even
+    locally it would bloat the persistent compile cache. Passing them as
+    parameters keeps the serialized program to a few MB of pure structure.
+
+    Three phases at construction:
+      1. discovery — `jax.eval_shape` of the refresh records every linear-
+         transform plan signature (level/scale) with zero device work;
+      2. materialization — each plan's diagonals are encoded (one batched
+         host FFT per plan) and NTT'd on device;
+      3. compile — the refresh is traced with keys and plans bound to
+         traced arguments and jitted. First call compiles (or replays the
+         persistent compile cache); later calls run at device speed.
+    """
+
+    def __init__(self, booter: Bootstrapper, example_ct: ckks.CkksCt):
+        import jax
+        import jax.numpy as jnp
+
+        self.b = booter
+        self.ids_in = example_ct.c0.limb_ids
+        self.scale_in = float(example_ct.scaling_factor)
+        self._out_meta = None
+        b = booter
+
+        self._key_data = {
+            "rlk": b.rlk.data,
+            "conj": b.conj_key.data,
+            "rot": {st: rk.data for st, rk in b.rot_keys.items()},
+        }
+        key_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self._key_data
+        )
+        ct_shape = jax.ShapeDtypeStruct(example_ct.c0.data.shape, jnp.uint32)
+
+        # 1. discovery (abstract: no FFTs, no device work)
+        b._discover = True
+        try:
+            jax.eval_shape(
+                lambda c0, c1, kd: self._refresh(c0, c1, kd, None),
+                ct_shape, ct_shape, key_shapes,
+            )
+        finally:
+            b._discover = False
+
+        # 2. materialize every discovered plan on device
+        self._plan_order = sorted(b._plans.keys())
+        for k in self._plan_order:
+            b._plans[k].materialize(b.ctx, b.params)
+        self._plan_pts = [
+            {gb: p.data for gb, p in b._plans[k].pts.items()}
+            for k in self._plan_order
+        ]
+
+        # 3. jit with keys/plans as parameters
+        self._fn = jax.jit(self._refresh)
+
+    def _refresh(self, c0, c1, key_data, plan_pts):
+        b = self.b
+        mk_key = lambda tmpl, data: rgsw_mod.RgswCt(
+            data, tmpl.limb_ids, tmpl.alpha
+        )
+        saved = (b.rlk, b.rot_keys, b.conj_key, b._plans, b._strict)
+        b.rlk = mk_key(b.rlk, key_data["rlk"])
+        b.conj_key = mk_key(b.conj_key, key_data["conj"])
+        b.rot_keys = {
+            st: mk_key(saved[1][st], key_data["rot"][st])
+            for st in saved[1]
+        }
+        if plan_pts is not None:
+            b._plans = {
+                k: saved[3][k].traced_view(plan_pts[i])
+                for i, k in enumerate(self._plan_order)
+            }
+            b._strict = True
+        try:
+            ct = ckks.CkksCt(
+                rns.RnsPoly(c0, rns.NTT, self.ids_in),
+                rns.RnsPoly(c1, rns.NTT, self.ids_in),
+                self.scale_in,
+            )
+            out = b(ct)
+            self._out_meta = (out.c0.limb_ids, float(out.scaling_factor))
+            return out.c0.data, out.c1.data
+        finally:
+            b.rlk, b.rot_keys, b.conj_key, b._plans, b._strict = saved
+
+    def __call__(self, ct: ckks.CkksCt) -> ckks.CkksCt:
+        if abs(ct.scaling_factor - self.scale_in) > 1e-6 * self.scale_in:
+            raise ValueError("compiled for a different input scale")
+        o0, o1 = self._fn(ct.c0.data, ct.c1.data, self._key_data,
+                          self._plan_pts)
+        ids, scale = self._out_meta
+        return ckks.CkksCt(
+            rns.RnsPoly(o0, rns.NTT, ids), rns.RnsPoly(o1, rns.NTT, ids),
+            scale,
+        )

@@ -251,7 +251,12 @@ def keygen(params: TfheParams, key, debug_zero_e: bool = False) -> TfheKeys:
 
 def _negacyclic_monomial_mul(coeffs, k, n: int, two_q):
     """coeffs(X) * X^k in Z_q[X]/(X^n+1), k traced in [0, 2n), per-batch.
-    coeffs: [..., C, n]; k: [...] (broadcast over C)."""
+    coeffs: [..., C, n]; k: [...] (broadcast over C).
+
+    Reference path for tests and host use. The blind-rotation hot loop does
+    NOT use this: a per-batch coefficient gather measured 3.3 ms/step on
+    the TPU (83% of round-2's whole gate) — it multiplies by a precomputed
+    NTT(X^k) table row instead (_monomial_tables)."""
     k0 = (k % n).astype(jnp.int32)
     wrap = ((k // n) % 2).astype(jnp.uint32)
     j = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
@@ -263,17 +268,50 @@ def _negacyclic_monomial_mul(coeffs, k, n: int, two_q):
     return jnp.where(flip, ma.neg_lazy(g, two_q), g)
 
 
+@functools.lru_cache(maxsize=None)
+def _monomial_tables(params: TfheParams):
+    """(T_mont, Tm1_mont): NTT-value tables of X^k and X^k − 1 for every
+    k ∈ [0, 2n), pre-scaled to the Montgomery domain (·2^32 mod q).
+
+    Multiplying the NTT-form accumulator by row k performs the negacyclic
+    monomial (shift) multiply as ONE pointwise Montgomery multiply — no
+    data-dependent coefficient gather. 2·[2n, n] uint32 ≈ 64 MB at N=2048,
+    built once per parameter set with a single batched NTT."""
+    n = params.rlwe_dimension
+    q = params.q
+    mono = np.zeros((2 * n, n), np.uint64)
+    k = np.arange(n)
+    mono[k, k] = 1
+    mono[n + k, k] = np.uint64(q - 1)  # X^{n+k} = −X^k mod (X^n + 1)
+    # host NTT (matches the device kernels' value order) so the tables can
+    # be built even while a jit trace is in progress
+    t_hat = hm.ntt_host_u64(mono, q, n) % q
+    r = int((1 << 32) % q)
+    t_mont = (t_hat * r % q).astype(np.uint32)
+    tm1_mont = ((t_hat + (q - 1)) % q * r % q).astype(np.uint32)
+    return jnp.asarray(t_mont), jnp.asarray(tm1_mont)
+
+
 def _gadget_decompose(x, bits: int, levels: int):
     """Unsigned base-2^bits digits of strict residues: [..., n] -> [..., levels, n]."""
     mask = U32((1 << bits) - 1)
     return jnp.stack([(x >> U32(bits * j)) & mask for j in range(levels)], axis=-2)
 
 
-def blind_rotate(params: TfheParams, test_poly, a_tilde, b_tilde, bsk):
+def blind_rotate(params: TfheParams, test_poly, a_tilde, b_tilde, bsk,
+                 tables=None):
     """acc = test_poly * X^{-(b~ + <a~, s>)} under RLWE encryption.
 
     test_poly: [n] uint32 strict; a_tilde: [..., m] in [0, 2N);
-    b_tilde: [...] in [0, 2N). Returns acc (c0, c1) coeff-form [..., 2, n]."""
+    b_tilde: [...] in [0, 2N). Returns acc (c0, c1) coeff-form [..., 2, n].
+
+    The accumulator lives in NTT form across the scan: each CMUX performs
+    acc·(X^{−a_i} − 1) as a row gather from the precomputed Montgomery
+    NTT(X^k − 1) table plus one pointwise multiply, INTTs only the
+    difference for the gadget decomposition, and adds the external-product
+    update back in the NTT domain. Same 2ℓ+2 transforms per step as the
+    coefficient-domain formulation, but no per-batch coefficient gather
+    (which measured 3.3 ms/step — 83% of the round-2 gate time)."""
     ctx = make_context(params.rlwe_params)
     q = params.q
     n = params.rlwe_dimension
@@ -281,21 +319,31 @@ def blind_rotate(params: TfheParams, test_poly, a_tilde, b_tilde, bsk):
     two_q = np.uint32(2 * q)
     qc = np.uint32(q)
     neg_qinv = ctx.rows("neg_qinv", (0,))[0, 0]
+    t_mont, tm1_mont = tables if tables is not None \
+        else _monomial_tables(params)
 
     batch = a_tilde.shape[:-1]
-    # initial acc: (c0, c1) = (t * X^{-b~}, 0)
-    t0 = jnp.broadcast_to(jnp.asarray(test_poly, U32), (*batch, 1, n))
-    c0 = _negacyclic_monomial_mul(t0, (U32(two_n) - b_tilde) % U32(two_n), n, two_q)
-    acc = jnp.concatenate([c0, jnp.zeros_like(c0)], axis=-2)  # [..., 2, n]
+    # initial acc: (c0, c1) = (t · X^{-b~}, 0) — in NTT form
+    t_hat = _ntt1(ctx, jnp.asarray(test_poly, U32))  # [n] lazy
+    b_row = jnp.take(
+        t_mont, ((U32(two_n) - b_tilde) % U32(two_n)).astype(jnp.int32),
+        axis=0,
+    )  # [..., n]
+    c0_hat = ma.mont_mul_lazy(
+        jnp.broadcast_to(t_hat, (*batch, n)), b_row, qc, neg_qinv
+    )[..., None, :]
+    acc0 = jnp.concatenate([c0_hat, jnp.zeros_like(c0_hat)], axis=-2)
 
     a_steps = jnp.moveaxis(a_tilde, -1, 0)  # [m, ...]
 
-    def cmux(acc, xs):
+    def cmux(acc_hat, xs):
         bsk_i, a_i = xs
-        shift = (U32(two_n) - a_i) % U32(two_n)
-        shifted = _negacyclic_monomial_mul(acc, shift, n, two_q)
-        diff = ma.sub_lazy(shifted, acc, two_q)
-        diff = ma.reduce_strict(diff, qc)
+        rows = jnp.take(
+            tm1_mont, ((U32(two_n) - a_i) % U32(two_n)).astype(jnp.int32),
+            axis=0,
+        )  # [..., n] = NTT(X^{−a_i} − 1), Montgomery domain
+        diff_hat = ma.mont_mul_lazy(acc_hat, rows[..., None, :], qc, neg_qinv)
+        diff = ma.reduce_strict(_intt1(ctx, diff_hat), qc)
         digits = _gadget_decompose(
             diff, params.decomp_bits, params.decomp_levels
         )  # [..., 2, ell, n]
@@ -306,12 +354,11 @@ def blind_rotate(params: TfheParams, test_poly, a_tilde, b_tilde, bsk):
         )  # [..., 2, ell, 2, n]
         summed = ma.reduce_add_lazy(
             prod.reshape(*prod.shape[:-4], -1, 2, n), -3, two_q
-        )  # [..., 2, n]
-        upd = _intt1(ctx, summed)
-        return ma.add_lazy(acc, upd, two_q), None
+        )  # [..., 2, n] — already NTT-form: add straight into the acc
+        return ma.add_lazy(acc_hat, summed, two_q), None
 
-    acc, _ = jax.lax.scan(cmux, acc, (bsk, a_steps))
-    return acc
+    acc_hat, _ = jax.lax.scan(cmux, acc0, (bsk, a_steps))
+    return _intt1(ctx, acc_hat)
 
 
 def _ntt1(ctx, x):
@@ -341,7 +388,14 @@ def sample_extract(params: TfheParams, acc) -> LweCt:
 
 def key_switch(params: TfheParams, ct: LweCt, keys: TfheKeys) -> LweCt:
     """LWE dimension switch N -> m by digit decomposition against the
-    Shoup-ized key-switch key."""
+    key-switch key.
+
+    For digit bases ≤ 2^7 the contraction runs as signed-int8 MXU matmuls
+    (_key_switch_mxu); otherwise the elementwise Shoup form is used — note
+    it materializes a [batch, N, kl, m] intermediate (18.7 GB at batch 512
+    under PRESET_GATE_128), so production presets keep ks_decomp_bits ≤ 7."""
+    if params.ks_decomp_bits <= 7:
+        return _key_switch_mxu(params, ct, keys)
     q = params.q
     qc, two_q = np.uint32(q), np.uint32(2 * q)
     kb, kl = params.ks_decomp_bits, params.ks_levels
@@ -356,6 +410,46 @@ def key_switch(params: TfheParams, ct: LweCt, keys: TfheKeys) -> LweCt:
     out_b = ma.reduce_add_lazy(tb.reshape(*tb.shape[:-2], -1), -1, two_q)
     out_b = ma.add_lazy(out_b, ct.b, two_q)
     return LweCt(ma.reduce_strict(out_a, qc), ma.reduce_strict(out_b, qc))
+
+
+def _key_switch_mxu(params: TfheParams, ct: LweCt, keys: TfheKeys) -> LweCt:
+    """Key switch as int8 MXU matmuls: out = D @ KSK with D the [batch,
+    N·kl] digit matrix (digits < 2^7 fit the signed-int8 path) and the key
+    split into five 7-bit planes recombined by Shoup multiplies with 2^7.
+    Exact: products < 2^12 and row sums < 2^26 fit int32 accumulators.
+    The b-part rides as an extra key column, so one matmul per plane."""
+    q = params.q
+    qc, two_q = np.uint32(q), np.uint32(2 * q)
+    kb, kl = params.ks_decomp_bits, params.ks_levels
+    m = params.lwe_dimension
+    N = params.rlwe_dimension
+    a = ct.a  # [..., N] strict
+    mask = U32((1 << kb) - 1)
+    d = jnp.stack([(a >> U32(kb * v)) & mask for v in range(kl)], axis=-1)
+    lead = d.shape[:-2]
+    D = d.reshape(*lead, N * kl).astype(jnp.int8)
+    ka = jnp.concatenate(
+        [jnp.asarray(keys.ksk_a), jnp.asarray(keys.ksk_b)[..., None]],
+        axis=-1,
+    ).reshape(N * kl, m + 1)
+    n_planes = (q.bit_length() + 6) // 7
+    c = np.uint32(128 % q)
+    c_sh = np.uint32((int(c) << 32) // q)
+    acc = None
+    for s in reversed(range(n_planes)):
+        plane = ((ka >> U32(7 * s)) & U32(0x7F)).astype(jnp.int8)
+        part = jnp.matmul(D, plane, preferred_element_type=jnp.int32)
+        part = part.astype(jnp.uint32) % qc
+        if acc is None:
+            acc = part
+        else:
+            acc = ma.add_lazy(ma.shoup_mul_lazy(acc, c, c_sh, qc), part,
+                              two_q)
+    out = ma.reduce_strict(acc, qc)  # [..., m+1]
+    out_b = ma.reduce_strict(
+        ma.add_lazy(out[..., m], ct.b % qc, two_q), qc
+    )
+    return LweCt(out[..., :m], out_b)
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +468,7 @@ def _mod_switch_2n(params: TfheParams, x):
 
 
 def functional_bootstrap(
-    params: TfheParams, ct: LweCt, lut_poly, keys: TfheKeys
+    params: TfheParams, ct: LweCt, lut_poly, keys: TfheKeys, tables=None
 ) -> LweCt:
     """Evaluate the LUT polynomial on ct's phase under encryption, refreshing
     noise (≙ tfhe::functional_bootstrap, func_boot.h:40-42 — declared only
@@ -382,19 +476,20 @@ def functional_bootstrap(
     result is the negated LUT value (func_boot.h:28-31)."""
     a_t = _mod_switch_2n(params, ct.a)
     b_t = _mod_switch_2n(params, ct.b)
-    acc = blind_rotate(params, lut_poly, a_t, b_t, keys.bsk)
+    acc = blind_rotate(params, lut_poly, a_t, b_t, keys.bsk, tables)
     extracted = sample_extract(params, acc)
     return key_switch(params, extracted, keys)
 
 
-def get_redundant_msb(params: TfheParams, ct: LweCt, keys: TfheKeys) -> LweCt:
+def get_redundant_msb(params: TfheParams, ct: LweCt, keys: TfheKeys,
+                      tables=None) -> LweCt:
     """LWE(k * q/2) where k is the redundant MSB of ct's phase
     (≙ func_boot.h:63-65): FBS with the constant q/8 test vector gives
     ±q/8 by negacyclicity; map {+q/8 -> 0, -q/8 -> q/2}."""
     q = params.q
     n = params.rlwe_dimension
     lut = np.full(n, q // 8, np.uint32)
-    out = functional_bootstrap(params, ct, lut, keys)
+    out = functional_bootstrap(params, ct, lut, keys, tables)
     # msb = (q/8 - out) * 2 = q/4 - 2*out
     qc, two_q = np.uint32(q), np.uint32(2 * q)
     a = ma.neg_lazy(ma.add_lazy(out.a, out.a, two_q), two_q)
@@ -407,17 +502,17 @@ def get_redundant_msb(params: TfheParams, ct: LweCt, keys: TfheKeys) -> LweCt:
 
 
 def fully_functional_bootstrap(
-    params: TfheParams, ct: LweCt, lut_poly, keys: TfheKeys
+    params: TfheParams, ct: LweCt, lut_poly, keys: TfheKeys, tables=None
 ) -> LweCt:
     """Negacyclicity-free bootstrap: strip the redundant MSB, then FBS
     (≙ func_boot.h:83-89; two FBS invocations, ~2x cost)."""
     q = params.q
     qc, two_q = np.uint32(q), np.uint32(2 * q)
-    msb = get_redundant_msb(params, ct, keys)
+    msb = get_redundant_msb(params, ct, keys, tables)
     a = ma.sub_lazy(ct.a % qc, msb.a, two_q)
     b = ma.sub_lazy(ct.b % qc, msb.b, two_q)
     fixed = LweCt(ma.reduce_strict(a, qc), ma.reduce_strict(b, qc))
-    return functional_bootstrap(params, fixed, lut_poly, keys)
+    return functional_bootstrap(params, fixed, lut_poly, keys, tables)
 
 
 # ---------------------------------------------------------------------------
@@ -431,7 +526,8 @@ def encode_bit(params: TfheParams, bit):
     return jnp.where(jnp.asarray(bit) != 0, U32(q // 8), U32(q - q // 8))
 
 
-def nand_gate(params: TfheParams, ct1: LweCt, ct2: LweCt, keys: TfheKeys) -> LweCt:
+def nand_gate(params: TfheParams, ct1: LweCt, ct2: LweCt, keys: TfheKeys,
+              tables=None) -> LweCt:
     """Bootstrapped NAND: linear part (0, q/8) - ct1 - ct2, then FBS with the
     constant q/8 test vector."""
     q = params.q
@@ -444,4 +540,43 @@ def nand_gate(params: TfheParams, ct1: LweCt, ct2: LweCt, keys: TfheKeys) -> Lwe
     )
     lin = LweCt(ma.reduce_strict(a, qc), ma.reduce_strict(b, qc))
     lut = np.full(params.rlwe_dimension, q // 8, np.uint32)
-    return functional_bootstrap(params, lin, lut, keys)
+    return functional_bootstrap(params, lin, lut, keys, tables)
+
+
+def make_nand(params: TfheParams, keys: TfheKeys):
+    """A jitted batched NAND whose large tensors — bootstrap key, key-switch
+    key, monomial tables — are bound as jit PARAMETERS, not baked constants.
+
+    jax embeds every non-splat closure constant as a literal in the
+    serialized HLO; at PRESET_GATE_128 that is ~330 MB (bsk 121 + ksk 145 +
+    tables 64), which the axon remote-compile endpoint rejects (HTTP 413)
+    and which would bloat the persistent compile cache. As parameters the
+    serialized program is a few hundred KB. Returns a callable
+    (ct1, ct2) -> LweCt; `.fn` and `.args` expose the raw jit for timing."""
+    import jax as _jax
+
+    tables = _monomial_tables(params)
+    big = {
+        "bsk": keys.bsk,
+        "ksk_a": jnp.asarray(keys.ksk_a),
+        "ksk_a_sh": jnp.asarray(keys.ksk_a_sh),
+        "ksk_b": jnp.asarray(keys.ksk_b),
+        "ksk_b_sh": jnp.asarray(keys.ksk_b_sh),
+        "t_mont": tables[0],
+        "tm1_mont": tables[1],
+    }
+
+    @_jax.jit
+    def run(a1, b1, a2, b2, big):
+        kv = TfheKeys(keys.lwe_s, keys.rlwe_sk, big["bsk"], big["ksk_a"],
+                      big["ksk_a_sh"], big["ksk_b"], big["ksk_b_sh"])
+        out = nand_gate(params, LweCt(a1, b1), LweCt(a2, b2), kv,
+                        tables=(big["t_mont"], big["tm1_mont"]))
+        return out.a, out.b
+
+    def call(ct1: LweCt, ct2: LweCt) -> LweCt:
+        return LweCt(*run(ct1.a, ct1.b, ct2.a, ct2.b, big))
+
+    call.fn = run
+    call.big = big
+    return call

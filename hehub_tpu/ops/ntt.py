@@ -166,8 +166,12 @@ def ntt_inv(data, tw, tw_sh, q, two_q, tw_last, tw_last_sh, n_inv, n_inv_sh):
 def _pallas_ok(ctx, data) -> bool:
     from hehub_tpu import config
 
-    # below n=1024 the transposed tail's minor axis (n/128 < 8) pads too hard
-    return config.pallas_enabled() and data.shape[-1] >= 1024
+    # Measured on v5e (r3): the XLA stage chain beats the roll-based Pallas
+    # kernel at every n <= 8192 (up to 7x at n=2048) and only loses at
+    # n = 16384+ on bench-like shapes ([64, 7, 16384]: fwd 1.72 vs 2.70 us).
+    # Below n=1024 the transposed tail's minor axis (n/128 < 8) also pads
+    # too hard for Mosaic.
+    return config.pallas_enabled() and data.shape[-1] >= 16384
 
 
 def ntt(ctx, data, limb_ids: Tuple[int, ...]):

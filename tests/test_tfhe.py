@@ -9,6 +9,7 @@ gate bootstrap with real noise."""
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from hehub_tpu.models import tfhe
@@ -134,3 +135,35 @@ def test_nand_gate_noisy():
     out = tfhe.nand_gate(PAR, c1, c2, keys)
     got = np.asarray(tfhe.lwe_decrypt_bit(PAR, out, keys.lwe_s))
     np.testing.assert_array_equal(got, 1 - (b1 & b2))
+
+
+def test_key_switch_mxu_matches_elementwise():
+    """The int8-MXU key-switch path (digit base <= 2^7) must agree exactly
+    with the elementwise Shoup form on the same key material."""
+    params = tfhe.TfheParams(rlwe_dimension=512, lwe_dimension=64,
+                             ks_decomp_bits=5, ks_levels=6)
+    keys = tfhe.keygen(params, jax.random.key(3))
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.integers(0, params.q, (9, params.rlwe_dimension))
+                    .astype(np.uint32))
+    b = jnp.asarray(rng.integers(0, params.q, 9).astype(np.uint32))
+    ct = tfhe.LweCt(a, b)
+    got = tfhe._key_switch_mxu(params, ct, keys)
+    # elementwise reference (force the generic branch)
+    import dataclasses
+    params_wide = dataclasses.replace(params, ks_decomp_bits=5)
+    qc, two_q = np.uint32(params.q), np.uint32(2 * params.q)
+    kb, kl = params.ks_decomp_bits, params.ks_levels
+    d = jnp.stack([(a >> jnp.uint32(kb * v)) & jnp.uint32((1 << kb) - 1)
+                   for v in range(kl)], axis=-1)
+    from hehub_tpu.ops import modarith as ma
+    ta = ma.shoup_mul_lazy(d[..., None], keys.ksk_a, keys.ksk_a_sh, qc)
+    tb = ma.shoup_mul_lazy(d, keys.ksk_b, keys.ksk_b_sh, qc)
+    out_a = ma.reduce_strict(
+        ma.reduce_add_lazy(ta.reshape(ta.shape[0], -1, ta.shape[-1]), -2,
+                           two_q), qc)
+    out_b = ma.reduce_strict(
+        ma.add_lazy(ma.reduce_add_lazy(tb.reshape(tb.shape[0], -1), -1,
+                                       two_q), b, two_q), qc)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(out_a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(out_b))
