@@ -102,21 +102,64 @@ except ImportError:  # pragma: no cover
     _fft, _ifft = np.fft.fft, np.fft.ifft
 
 
+@functools.lru_cache(maxsize=None)
+def _half_transform_tables(n: int):
+    """Tables for the HALF-SIZE encode/decode transform.
+
+    In R[X]/(X^n+1), X^{n/2} is a square root of −1, so p = A + B·X^{n/2}
+    with real A,B of length n/2 is ONE complex vector u = a + i·b. Slot i
+    evaluates p at ζ^{3^i}; conjugating the odd slots moves every
+    evaluation point to an exponent ≡ 1 (mod 4) — the points become
+    exactly the roots of X^{n/2} = i, i.e. ζ·ω^j with ω the primitive
+    (n/2)-th root, visited in the order j_i = ((−3)^i mod 2n − 1)/4. The
+    whole encode is therefore ONE n/2-point FFT (plus a permutation and a
+    twist), not the textbook n-point transform — half the host flops of
+    even the conjugate-pair folding, with decode exactly symmetric.
+
+    Returns (invj, j, tw_enc, tw_dec): invj scatters slot order -> DFT bin
+    order (vals = y[invj]), j gathers it back; tw_enc = ζ^{-k}/(n/2) folds
+    the twist and the fft normalization for encode, tw_dec = (n/2)·ζ^{k}
+    the inverse pair for decode."""
+    half = n // 2
+    j = np.empty(half, np.int64)
+    t = 1
+    for i in range(half):
+        j[i] = (t - 1) // 4
+        t = t * (2 * n - 3) % (2 * n)
+    invj = np.empty(half, np.int64)
+    invj[j] = np.arange(half)
+    tw_enc = np.exp(-1j * np.pi * np.arange(half) / n) / half
+    tw_dec = half * np.exp(1j * np.pi * np.arange(half) / n)
+    return invj, j, tw_enc, tw_dec
+
+
 def _coeffs_from_slots(data: np.ndarray, n: int) -> np.ndarray:
     """Complex slot values [..., k] -> real negacyclic coefficients
-    [..., n] (float64). Batched over leading dims (vectorized FFT)."""
-    pos = _slot_positions(n)[: data.shape[-1]]
-    ev = np.zeros((*data.shape[:-1], n), dtype=np.complex128)
-    ev[..., pos] = data
-    ev[..., n - 1 - pos] = np.conj(data)
-    b = _fft(ev, axis=-1) / n
-    return (b * np.conj(_twist(n))).real
+    [..., n] (float64). Batched over leading dims (vectorized FFT).
+    One n/2-point FFT via the X^{n/2} = √−1 identity
+    (_half_transform_tables)."""
+    half = n // 2
+    if data.shape[-1] < half:
+        padded = np.zeros((*data.shape[:-1], half), dtype=np.complex128)
+        padded[..., : data.shape[-1]] = data
+        data = padded
+    invj, _, tw_enc, _ = _half_transform_tables(n)
+    y = data.copy()
+    np.conjugate(y[..., 1::2], out=y[..., 1::2])
+    u = _fft(y[..., invj], axis=-1) * tw_enc
+    return np.concatenate([u.real, u.imag], axis=-1)
 
 
 def _slots_to_read(coeffs: np.ndarray, n: int, count: int) -> np.ndarray:
-    ev = n * _ifft(coeffs * _twist(n), axis=-1)
-    pos = _slot_positions(n)[:count]
-    return ev[..., pos]
+    """Real negacyclic coefficients [..., n] -> first `count` complex
+    slots: the exact inverse of _coeffs_from_slots (one n/2-point iFFT)."""
+    half = n // 2
+    _, j, _, tw_dec = _half_transform_tables(n)
+    u = coeffs[..., :half] + 1j * coeffs[..., half:]
+    vals = _ifft(u * tw_dec, axis=-1)
+    y = vals[..., j[:count]]
+    np.conjugate(y[..., 1::2], out=y[..., 1::2])
+    return y
 
 
 def _digitize(coeffs: np.ndarray):
@@ -160,6 +203,26 @@ def encode(
     ids = tuple(range(len(params.moduli) - level))
     resid = _decompose_jit(ctx, ids)(digits, neg)
     return CkksPt(RnsPoly(resid, COEFF, ids), float(scale))
+
+
+def encode_scalar(
+    value, params: CkksParams, scaling_factor: Optional[float] = None,
+    level: int = 0,
+) -> CkksPt:
+    """Encode ONE number replicated into every slot (≙ ckks::encode(double),
+    ckks.h:123-144: the reference's scalar sugar). Use with decode_scalar,
+    which averages the slots back — slot-noise averages down by √(n/2)."""
+    n = params.dimension
+    return encode(np.full(n // 2, complex(value)), params, scaling_factor,
+                  level)
+
+
+def decode_scalar(
+    pt: CkksPt, params: CkksParams, limbs: Optional[int] = None,
+) -> complex:
+    """Average all slots back to one number (≙ ckks::decode<T>,
+    ckks.h:167-170): the inverse of encode_scalar."""
+    return complex(np.mean(decode(pt, params, limbs=limbs), axis=-1))
 
 
 def decode_limb_count(

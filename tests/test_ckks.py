@@ -284,3 +284,15 @@ def test_decode_large_magnitude_slots():
     # explicit limbs= still honors the caller's choice (no probe)
     out2 = np.real(ckks.decode(pt, params, limbs=len(params.moduli)))
     np.testing.assert_allclose(out2, big, atol=1e-3)
+
+
+def test_scalar_encode_decode():
+    """Reference scalar sugar: ckks::encode(double) replicates into all
+    slots, decode<T> averages them back (ckks.h:123-144, 167-170)."""
+    params, ctx, sk = setup()
+    pt = ckks.encode_scalar(0.375, params)
+    assert abs(ckks.decode_scalar(pt, params) - 0.375) < 1e-8
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(33))
+    got = ckks.decode_scalar(ckks.decrypt(ctx, ct, sk), params)
+    # averaging n/2 slots shrinks fresh noise by ~sqrt(n/2)
+    assert abs(got - 0.375) < 2**-14
