@@ -163,10 +163,14 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63):
     ctx = make_context(params)
     sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
     rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    # factored (radix) C2S/S2C at production dims: ~5x fewer rotations and
+    # ~100x less plan storage than dense BSGS, at 2 extra levels per
+    # transform (accuracy stays well under 1e-3 — bootstrap.py)
+    lt_stages = 3 if n >= 2048 else 0
     t0 = time.perf_counter()
     rot_keys = {
         st: keys_mod.rot_key(ctx, sk, st, jax.random.key(100 + st))
-        for st in bs.bootstrap_rotation_steps(params)
+        for st in bs.bootstrap_rotation_steps(params, lt_stages)
     }
     ck = keys_mod.conj_key(ctx, sk, jax.random.key(5))
     _err(f"[bench] bootstrap keygen: {len(rot_keys)} rotation keys in "
@@ -178,7 +182,8 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63):
                      level=len(params.moduli) - 1)
     ct = ckks.encrypt(ctx, pt, sk, jax.random.key(7))
     booter = bs.Bootstrapper(ctx, params, rlk, rot_keys, ck, k_bound=5,
-                             degree=degree, arcsine=True)
+                             degree=degree, arcsine=True,
+                             lt_stages=lt_stages)
 
     # The whole refresh is ONE jitted program (eager dispatch through a
     # remote backend would pay an RPC per op) with keys and plan plaintexts
@@ -235,6 +240,54 @@ def _bootstrap_subprocess(n: int, timeout_s: float):
     return None, None
 
 
+def bench_full_depth_ops(n: int, batch: int):
+    """mult+relin+rescale and rotate at the FULL standard security budget
+    for dimension n (num_levels=None fills it — ≙ the reference's
+    create_params, basics.cpp:40-64). Returns (t_mult, t_rot, L)."""
+    import jax
+
+    from hehub_tpu.core import rns
+    from hehub_tpu.core.context import create_ckks_params, make_context
+    from hehub_tpu.models import ckks
+    from hehub_tpu.rlwe import keys as keys_mod
+    from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+    params = create_ckks_params(n, scaling_bits=28)
+    ctx = make_context(params)
+    ids = tuple(range(len(params.moduli)))
+    L = len(ids)
+    qs = np.asarray(ctx.moduli_of(ids), np.uint32)[:, None]
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0))
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rk = keys_mod.rot_key(ctx, sk, 1, jax.random.key(2))
+    scale = params.initial_scaling_factor
+    rng = np.random.default_rng(5)
+    cts = tuple(
+        jax.device_put(
+            rng.integers(0, 1 << 31, (batch, L, n)).astype(np.uint32)
+            % (2 * qs)
+        )
+        for _ in range(4)
+    )
+    mk = lambda d: rns.RnsPoly(d, rns.NTT, ids)
+
+    def mult_step(c0a, c1a, c0b, c1b):
+        out = ckks.rescale(
+            ctx,
+            ckks.mult(ctx, ckks.CkksCt(mk(c0a), mk(c1a), scale),
+                      ckks.CkksCt(mk(c0b), mk(c1b), scale), rlk),
+        )
+        return out.c0.data, out.c1.data
+
+    def rotate_step(c0d, c1d):
+        out = ckks.rotate(ctx, ckks.CkksCt(mk(c0d), mk(c1d), scale), rk, 1)
+        return out.c0.data, out.c1.data
+
+    t_mult = _timeit(jax.jit(mult_step), cts, warmup=1, iters=4)
+    t_rot = _timeit(jax.jit(rotate_step), cts[:2], iters=4)
+    return t_mult, t_rot, L
+
+
 def rotation_grid():
     """The reference's runnable benchmark grid: LOGN 12-15 x scaling bits
     36/43/48/55 (/root/reference/bench/benchmarks.cpp:21-22), measuring
@@ -251,12 +304,20 @@ def rotation_grid():
     for logn in (12, 13, 14, 15):
         n = 1 << logn
         for bits in (36, 43, 48, 55):
-            # enough 30-bit limbs to hold Delta plus one mult's headroom
-            levels = max((bits + 12) // 29 + 2, 4)
-            params = create_ckks_params(
-                n, scaling_bits=bits, num_levels=levels,
-                use_security_budget=False,
-            )
+            # reference-equivalent depth: fill the standard security budget
+            # (basics.cpp:40-64). Cells whose budget can't hold the scale
+            # (logn=12 at 48/55 bits) fall back to the minimum viable depth,
+            # marked insecure — the reference builds those insecurely too.
+            try:
+                params = create_ckks_params(n, scaling_bits=bits)
+                secure = True
+            except ValueError:
+                levels = max((bits + 12) // 29 + 2, 4)
+                params = create_ckks_params(
+                    n, scaling_bits=bits, num_levels=levels,
+                    use_security_budget=False,
+                )
+                secure = False
             ctx = make_context(params)
             ids = tuple(range(len(params.moduli)))
             L = len(ids)
@@ -294,6 +355,7 @@ def rotation_grid():
             _err(
                 f"[grid] {logn:4d} | {bits:10d} | {L} | "
                 f"{t_rot*1e3/batch:12.3f} | {t_mul*1e3/batch:10.3f}"
+                f"{'' if secure else '  (insecure fallback depth)'}"
             )
 
 
@@ -457,6 +519,21 @@ def main():
         f"({rotate_per_sec:.1f}/s)"
     )
 
+    # ---- north-star ops at REFERENCE-EQUIVALENT depth ------------------------
+    # The reference's create_params fills the whole per-dimension security
+    # budget (438 bits at n=16384 -> L=13+1 here, basics.cpp:40-64); the
+    # L=7 headline above leaves 198 bits unused. Measure mult+rotate at the
+    # full budget too — the honest figure for a freshly-encrypted ct.
+    t_mult_fd = t_rot_fd = None
+    L_fd = 0
+    if not small:
+        t_mult_fd, t_rot_fd, L_fd = bench_full_depth_ops(n, batch)
+        _err(
+            f"[bench] CKKS FULL-DEPTH mult+relin+rescale n={n} L={L_fd}: "
+            f"{t_mult_fd*1e3/batch:.2f} ms/op ({batch/t_mult_fd:.1f}/s); "
+            f"rotate {t_rot_fd*1e3/batch:.2f} ms/op ({batch/t_rot_fd:.1f}/s)"
+        )
+
     # ---- TFHE bootstrapped gate throughput (batched blind rotation) ----------
     from hehub_tpu.models import tfhe
 
@@ -518,6 +595,13 @@ def main():
         "intt_per_sec": intt_per_sec,
         "ckks_mult_relin_rescale_per_sec": mult_per_sec,
         "ckks_mult_ms_per_op": t_mult * 1e3 / batch,
+        "ckks_mult_full_depth_ms_per_op": (
+            t_mult_fd * 1e3 / batch if t_mult_fd else None
+        ),
+        "ckks_rotate_full_depth_ms_per_op": (
+            t_rot_fd * 1e3 / batch if t_rot_fd else None
+        ),
+        "full_depth_limbs": L_fd,
         "ckks_rotate_per_sec": rotate_per_sec,
         "ckks_rotate_ms_per_op": t_rot * 1e3 / batch,
         "ckks_encode_encrypt_ms": t_ee * 1e3,

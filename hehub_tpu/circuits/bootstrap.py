@@ -87,8 +87,97 @@ def _c2s_s2c_matrices(n: int):
 
 
 # ---------------------------------------------------------------------------
-# BSGS slot-space linear transform
+# Butterfly factorization of the evaluation map (factored C2S/S2C)
 # ---------------------------------------------------------------------------
+#
+# V := C1 = W[:, :s] is the degree-<s evaluation map V[i,k] = ζ^{e_i k}
+# (e_i = 3^i mod 2n). Because slot rotations translate the generator index
+# i, V admits the classic radix-2 factorization IN THIS LAYOUT:
+#     V = M_d · … · M_1 · P_br          (d = log2 s)
+# with every M_t carrying nonzero diagonals only at {0, ±2^(t−1)} and P_br
+# the coefficient bit-reversal. All six bootstrap matrices then come for
+# free (verified to 1e-13 against the dense derivation):
+#     E = C1^H/n,  F = C1^T/n,  C2 = D·C1,  G = E·D̄,  H = F·D,
+# with D = diag(ζ^{e_i s}) — so EACH C2S half is ONE factored chain plus
+# ONE conjugation:  P·(E z + F z̄) = (u + ū)/n,  u = G_1^H(… G_k^H z).
+# The bit-reversal cancels across the pipeline: C2S emits r/im in bit-
+# reversed coefficient order, EvalMod is slot-wise, and S2C's chain
+# consumes that same order — no homomorphic permutation is ever applied.
+# Merging adjacent butterflies into radix-2^r groups trades levels for
+# diagonals (a k-stage chain costs k levels and ~k·2√(2^r) rotations
+# instead of the dense transform's 1 level and 2√s rotations, with s/2^r
+# times less plan storage — the memory/rotation structure every
+# production CKKS bootstrap uses).
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_factors(n: int):
+    """(Ms, rev, e): stage matrices with V = Ms[d−1] @ … @ Ms[0] @ P_br,
+    the bit-reversal permutation rev (an involution), and the Galois
+    exponents e_i = 3^i mod 2n."""
+    s = n // 2
+    d = s.bit_length() - 1
+    e = np.empty(s, dtype=np.int64)
+    x = 1
+    for i in range(s):
+        e[i] = x
+        x = x * 3 % (2 * n)
+    zeta = np.exp(1j * np.pi / n)
+    cur_roots = [zeta**e]
+    stages = []
+    for t in range(d, 0, -1):
+        b = 1 << t
+        M = np.zeros((s, s), dtype=np.complex128)
+        new_roots = []
+        for blk, r in enumerate(cur_roots):
+            base = blk * b
+            h = b // 2
+            i = np.arange(h)
+            M[base + i, base + i] = 1.0
+            M[base + i, base + h + i] = r[:h]
+            M[base + h + i, base + i] = 1.0
+            M[base + h + i, base + h + i] = r[h:]
+            sq = r[:h] ** 2
+            new_roots += [sq, sq]
+        cur_roots = new_roots
+        stages.append(M)
+    stages = stages[::-1]  # stages[0] = M_1, applied first after P_br
+    rev = np.zeros(s, np.int64)
+    idx = np.arange(s)
+    for bit in range(d):
+        rev |= ((idx >> bit) & 1) << (d - 1 - bit)
+    return tuple(stages), rev, e
+
+
+@functools.lru_cache(maxsize=None)
+def _merged_chain_matrices(n: int, lt_stages: int):
+    """The four factored chains as tuples of matrices IN APPLICATION ORDER:
+    (c2s_r, c2s_im, s2c_r, s2c_im). Merges the d butterflies into
+    `lt_stages` near-equal groups G_1..G_k (V = G_k ⋯ G_1 P_br), then
+      c2s chains: (1/n)·G_1^H applied LAST, G_k^H (·D̄ for im) FIRST;
+      s2c chains: G_1 applied FIRST, G_k (D·G_k for im) LAST."""
+    Ms, rev, e = _butterfly_factors(n)
+    d = len(Ms)
+    k = min(lt_stages, d)
+    bounds = [round(j * d / k) for j in range(k + 1)]
+    groups = []
+    for j in range(k):
+        Gj = Ms[bounds[j]]
+        for t in range(bounds[j] + 1, bounds[j + 1]):
+            Gj = Ms[t] @ Gj
+        groups.append(Gj)
+    D = np.exp(1j * np.pi * e / 2)  # ζ^{e_i s}
+    adj = [Gj.conj().T for Gj in groups]
+    c2s_r = [adj[j] for j in range(k - 1, -1, -1)]
+    c2s_im = list(c2s_r)
+    c2s_im[0] = adj[k - 1] @ np.diag(np.conj(D))
+    # fold the 1/n into the last applied factor of each c2s chain
+    c2s_r[-1] = c2s_r[-1] / n
+    c2s_im[-1] = c2s_im[-1] / n
+    s2c_r = list(groups)
+    s2c_im = list(groups)
+    s2c_im[-1] = np.diag(D) @ s2c_im[-1]
+    return (tuple(c2s_r), tuple(c2s_im), tuple(s2c_r), tuple(s2c_im))
 
 
 def _bsgs_split(s: int) -> Tuple[int, int]:
@@ -377,8 +466,39 @@ def slot_to_coeff(
     return ckks.add(ctx, tc, td)
 
 
-def bootstrap_rotation_steps(params: CkksParams) -> List[int]:
-    return linear_transform_steps(params.dimension // 2)
+def _matrix_bsgs_steps(M: np.ndarray) -> set:
+    """Rotation steps a LinearTransformPlan of M will request (same
+    nonzero-diagonal pruning and BSGS split)."""
+    s = M.shape[0]
+    B, G = _bsgs_split(s)
+    idx = np.arange(s)
+    steps = set()
+    babies = set()
+    for g in range(G):
+        for b in range(B):
+            k = g * B + b
+            if k >= s:
+                break
+            if np.any(M[idx, (idx + k) % s]):
+                babies.add(b)
+                if g:
+                    steps.add((-g * B) % s)
+    steps |= {(-b) % s for b in babies if b}
+    return steps
+
+
+def bootstrap_rotation_steps(params: CkksParams, lt_stages: int = 0) -> List[int]:
+    """Rotation keys the bootstrap needs. lt_stages=0: dense BSGS
+    transforms (all baby/giant steps). lt_stages=k: the factored chains'
+    union of per-stage steps — far fewer at large n."""
+    if not lt_stages:
+        return linear_transform_steps(params.dimension // 2)
+    chains = _merged_chain_matrices(params.dimension, lt_stages)
+    steps = set()
+    for chain in chains:
+        for M in chain:
+            steps |= _matrix_bsgs_steps(M)
+    return sorted(steps)
 
 
 # ---------------------------------------------------------------------------
@@ -848,12 +968,14 @@ class Bootstrapper:
         degree: int = 31,
         arcsine=False,
         double_angle: int = 0,
+        lt_stages: int = 0,
     ):
         self.ctx, self.params = ctx, params
         self.rlk, self.rot_keys, self.conj_key = rlk, rot_keys, conj_key
         self.k_bound, self.degree = k_bound, degree
         self.arcsine = arcsine
         self.double_angle = double_angle
+        self.lt_stages = lt_stages  # 0 = dense BSGS; k = factored chains
         self._plans: Dict = {}
         self._discover = False  # eval_shape pass: record plan signatures
         self._strict = False    # compiled trace: plan misses are bugs
@@ -913,12 +1035,37 @@ class Bootstrapper:
             apply_lt_plan(self.ctx, p2, ct, self.rot_keys, babies),
         )
 
+    def _default_target(self, ct: ckks.CkksCt) -> float:
+        q_drop = self.ctx.mod_list[ct.c0.limb_count - 1]
+        return self.params.initial_scaling_factor * q_drop
+
+    def _chain(self, name: str, mats, ct: ckks.CkksCt) -> ckks.CkksCt:
+        for t, M in enumerate(mats):
+            ct = self._lt(f"{name}{t}", M, ct, self._default_target(ct))
+        return ct
+
     def coeff_to_slot(self, ct: ckks.CkksCt):
+        if self.lt_stages:
+            # factored: one chain + one conjugation per half; outputs hold
+            # the coefficients in BIT-REVERSED order, which slot_to_coeff
+            # consumes — the permutation never materializes homomorphically
+            c2s_r, c2s_im, _, _ = _merged_chain_matrices(
+                self.params.dimension, self.lt_stages
+            )
+            target = self._default_target(ct)
+            u, u2 = self._lt_pair(("c2sR0", c2s_r[0]), ("c2sI0", c2s_im[0]),
+                                  ct, target)
+            u = self._chain("c2sR", c2s_r[1:], u) if len(c2s_r) > 1 else u
+            u2 = self._chain("c2sI", c2s_im[1:], u2) if len(c2s_im) > 1 \
+                else u2
+            r = ckks.add(self.ctx, u,
+                         ckks.conjugate(self.ctx, u, self.conj_key))
+            im = ckks.add(self.ctx, u2,
+                          ckks.conjugate(self.ctx, u2, self.conj_key))
+            return r, im
         E, F, G, H, _, _ = _c2s_s2c_matrices(self.params.dimension)
         ct_conj = ckks.conjugate(self.ctx, ct, self.conj_key)
-        lvl = ct.c0.limb_count
-        q_drop = self.ctx.mod_list[lvl - 1]
-        target = self.params.initial_scaling_factor * q_drop
+        target = self._default_target(ct)
         e_ct, g_ct = self._lt_pair(("E", E), ("G", G), ct, target)
         f_ct, h_ct = self._lt_pair(("F", F), ("H", H), ct_conj, target)
         r = ckks.add(self.ctx, e_ct, f_ct)
@@ -926,12 +1073,20 @@ class Bootstrapper:
         return r, im
 
     def slot_to_coeff(self, ct_re: ckks.CkksCt, ct_im: ckks.CkksCt):
-        _, _, _, _, C1, C2 = _c2s_s2c_matrices(self.params.dimension)
         lvl = min(ct_re.c0.limb_count, ct_im.c0.limb_count)
-        q_drop = self.ctx.mod_list[lvl - 1]
-        target = self.params.initial_scaling_factor * q_drop
         ct_re = pe.align_level(self.ctx, ct_re, lvl)
         ct_im = pe.align_level(self.ctx, ct_im, lvl)
+        if self.lt_stages:
+            _, _, s2c_r, s2c_im = _merged_chain_matrices(
+                self.params.dimension, self.lt_stages
+            )
+            tc = self._chain("s2cR", s2c_r, ct_re)
+            td = self._chain("s2cI", s2c_im, ct_im)
+            lv = min(tc.c0.limb_count, td.c0.limb_count)
+            return ckks.add(self.ctx, pe.align_level(self.ctx, tc, lv),
+                            pe.align_level(self.ctx, td, lv))
+        _, _, _, _, C1, C2 = _c2s_s2c_matrices(self.params.dimension)
+        target = self._default_target(ct_re)
         # the two halves may carry different (flexible) scales: plan per half
         tc = self._lt("C1", C1, ct_re, target)
         td = self._lt("C2", C2, ct_im, target)
