@@ -113,12 +113,12 @@ def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
         return basecnv.to_mixed_radix(ctx, poly.data, ids, K)
 
     # host half of encode
-    digits, neg = ckks._digitize(ckks._coeffs_from_slots(
-        np.atleast_1d(vec.astype(np.complex128)), n) * scale0)
+    digits, neg = ckks._encode_host(
+        np.atleast_1d(vec.astype(np.complex128)), n, scale0)
     t0 = time.perf_counter()
     for _ in range(iters):
-        digits, neg = ckks._digitize(ckks._coeffs_from_slots(
-            np.atleast_1d(vec.astype(np.complex128)), n) * scale0)
+        digits, neg = ckks._encode_host(
+            np.atleast_1d(vec.astype(np.complex128)), n, scale0)
     t_enc_host = (time.perf_counter() - t0) / iters
     t_enc_dev = _timeit(encrypt_dev, (digits, neg, enc_key), iters=iters)
     c0, c1 = encrypt_dev(digits, neg, enc_key)
@@ -127,8 +127,8 @@ def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
     dig = np.asarray(decrypt_dev(c0, c1))
     t0 = time.perf_counter()
     for _ in range(iters):
-        coeffs = ckks._mixed_radix_to_float(dig, mods[:K]) / scale0
-        out = ckks._slots_to_read(coeffs, n, n // 2)
+        coeffs = ckks._mixed_radix_to_float(dig, mods[:K])
+        out = ckks._decode_host(coeffs, n, scale0, n // 2)
     t_dec_host = (time.perf_counter() - t0) / iters
     assert np.allclose(np.real(out), vec, atol=2**-12), "round trip failed"
     t_ee = t_enc_host + t_enc_dev
@@ -163,9 +163,9 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63):
     ctx = make_context(params)
     sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
     rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
-    # factored (radix) C2S/S2C at production dims: ~5x fewer rotations and
-    # ~100x less plan storage than dense BSGS, at 2 extra levels per
-    # transform (accuracy stays well under 1e-3 — bootstrap.py)
+    # factored (radix) C2S/S2C at production dims: fewer rotation keys (52
+    # vs 94 at n=4096) and ~100x less plan storage than dense BSGS, at 2
+    # extra levels per transform (accuracy stays well under 1e-3)
     lt_stages = 3 if n >= 2048 else 0
     t0 = time.perf_counter()
     rot_keys = {

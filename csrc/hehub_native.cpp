@@ -275,6 +275,183 @@ void hh_compose_double(const u32* residues, const u64* moduli, int L,
 }
 
 // ---------------------------------------------------------------------------
+// Fused single-pass halves of the CKKS host encode/decode pipeline. These
+// replace multi-pass numpy chains (rint -> abs -> max -> int64 -> 3x
+// shift/mask, and the K-row balanced-carry loop): the host side of
+// simd_encode/simd_decode (ckks/basics.cpp:156-366) costs one memory pass
+// here instead of ~12 numpy passes.
+// ---------------------------------------------------------------------------
+
+// Base-2^22 digit split of rint(coeffs): float64 [rows, n] ->
+// digits u32 [rows, 3, n] + neg u32 [rows, n]. Returns 1 if any
+// |rint(x)| >= 2^62 (caller raises), else 0. llrint under the default
+// FE_TONEAREST mode matches np.rint (round-half-to-even) exactly.
+int hh_digitize(const double* coeffs, long long rows, long long n,
+                u32* digits, u32* neg) {
+    const double lim = 4611686018427387904.0;  // 2^62
+    int overflow = 0;
+    for (long long r = 0; r < rows; ++r) {
+        const double* src = coeffs + r * n;
+        u32* d0 = digits + (size_t)r * 3 * n;
+        u32* d1 = d0 + n;
+        u32* d2 = d1 + n;
+        u32* ng = neg + r * n;
+        for (long long i = 0; i < n; ++i) {
+            double x = __builtin_nearbyint(src[i]);
+            if (x >= lim || x <= -lim) overflow = 1;
+            int64_t ix = (int64_t)x;
+            ng[i] = (u32)(ix < 0);
+            u64 ax = (u64)(ix < 0 ? -ix : ix);
+            d0[i] = (u32)(ax & 0x3fffffULL);
+            d1[i] = (u32)((ax >> 22) & 0x3fffffULL);
+            d2[i] = (u32)((ax >> 44) & 0x3fffffULL);
+        }
+    }
+    return overflow;
+}
+
+// Encode pre-FFT: out[r,i] = data[r, invj[i]], conjugated when invj[i] is
+// odd (slot order -> DFT bin order with the odd-slot conjugation folded).
+// data/out are interleaved complex double [rows, half].
+void hh_encode_pre(const double* data, const int64_t* invj, long long rows,
+                   long long half, double* out) {
+    for (long long r = 0; r < rows; ++r) {
+        const double* src = data + r * 2 * half;
+        double* dst = out + r * 2 * half;
+        for (long long i = 0; i < half; ++i) {
+            int64_t s = invj[i];
+            dst[2 * i] = src[2 * s];
+            dst[2 * i + 1] = (s & 1) ? -src[2 * s + 1] : src[2 * s + 1];
+        }
+    }
+}
+
+// Encode post-FFT: twist + scale + rint + base-2^22 digit split in ONE pass.
+// u = FFT output (interleaved complex [rows, half]), tw = tw_enc
+// (interleaved complex [half]); coefficient i gets re((u*tw)[i])*scale,
+// coefficient half+i gets im((u*tw)[i])*scale. Emits digits
+// [rows, 3, 2*half] + neg [rows, 2*half]; returns 1 on |coeff| >= 2^62.
+int hh_encode_post(const double* u, const double* tw, double scale,
+                   long long rows, long long half, u32* digits, u32* neg) {
+    const double lim = 4611686018427387904.0;  // 2^62
+    const long long n = 2 * half;
+    int overflow = 0;
+    for (long long r = 0; r < rows; ++r) {
+        const double* src = u + r * 2 * half;
+        u32* d0 = digits + (size_t)r * 3 * n;
+        u32* d1 = d0 + n;
+        u32* d2 = d1 + n;
+        u32* ng = neg + r * n;
+        for (long long i = 0; i < half; ++i) {
+            double a = src[2 * i], b = src[2 * i + 1];
+            double c = tw[2 * i], d = tw[2 * i + 1];
+            double re = (a * c - b * d) * scale;
+            double im = (a * d + b * c) * scale;
+            for (int part = 0; part < 2; ++part) {
+                double x = __builtin_nearbyint(part ? im : re);
+                if (x >= lim || x <= -lim) overflow = 1;
+                int64_t ix = (int64_t)x;
+                long long k = part ? half + i : i;
+                ng[k] = (u32)(ix < 0);
+                u64 ax = (u64)(ix < 0 ? -ix : ix);
+                d0[k] = (u32)(ax & 0x3fffffULL);
+                d1[k] = (u32)((ax >> 22) & 0x3fffffULL);
+                d2[k] = (u32)((ax >> 44) & 0x3fffffULL);
+            }
+        }
+    }
+    return overflow;
+}
+
+// Decode pre-iFFT: u[r,i] = ((c[r,i] + i*c[r,half+i]) / scale) * tw[i] —
+// the complex build, the 1/scale normalization, and the twist in one pass.
+void hh_decode_pre(const double* coeffs, const double* tw, double scale,
+                   long long rows, long long half, double* out) {
+    for (long long r = 0; r < rows; ++r) {
+        const double* src = coeffs + r * 2 * half;
+        double* dst = out + r * 2 * half;
+        for (long long i = 0; i < half; ++i) {
+            double a = src[i] / scale, b = src[half + i] / scale;
+            double c = tw[2 * i], d = tw[2 * i + 1];
+            dst[2 * i] = a * c - b * d;
+            dst[2 * i + 1] = a * d + b * c;
+        }
+    }
+}
+
+// Decode post-iFFT: out[r,i] = vals[r, j[i]], conjugated at odd output
+// positions (DFT bin order -> slot order). Interleaved complex doubles.
+void hh_decode_post(const double* vals, const int64_t* j, long long rows,
+                    long long half, long long count, double* out) {
+    for (long long r = 0; r < rows; ++r) {
+        const double* src = vals + r * 2 * half;
+        double* dst = out + r * 2 * count;
+        for (long long i = 0; i < count; ++i) {
+            int64_t s = j[i];
+            dst[2 * i] = src[2 * s];
+            dst[2 * i + 1] = (i & 1) ? -src[2 * s + 1] : src[2 * s + 1];
+        }
+    }
+}
+
+// Balanced-digit carry pass over Garner mixed-radix digits
+// [rows, K, n] u32 -> centered float64 values [rows, n]:
+//   dj = d[j] + carry; carry = dj > q_j/2; bal = dj - carry*q_j;
+//   out = sum bal_j * prod_{m<j} q_m    (final carry out of the top digit
+// is the mod-prod(q) wrap and is dropped — same as the numpy path).
+// split_top != 0: the last digit row is an overflow sentinel — excluded
+// from the value; its balanced digits are written to top [rows, n] i64 and
+// top_nonzero reports whether ANY of them is nonzero.
+void hh_mixed_radix(const u32* digits, long long rows, int K, long long n,
+                    const u64* mods, int split_top, double* out,
+                    int64_t* top, int* top_nonzero) {
+    int any_top = 0;
+    std::vector<int64_t> carry(n);
+    for (long long r = 0; r < rows; ++r) {
+        const u32* base = digits + (size_t)r * K * n;
+        double* dst = out + r * n;
+        std::memset(carry.data(), 0, n * sizeof(int64_t));
+        double weight = 1.0;
+        for (int j = 0; j < K; ++j) {
+            const int64_t q = (int64_t)mods[j];
+            const int64_t hq = q >> 1;
+            const u32* row = base + (size_t)j * n;
+            const bool is_sentinel = split_top && j == K - 1;
+            if (is_sentinel && j == 0) std::memset(dst, 0, n * sizeof(double));
+            if (j == 0 && !is_sentinel) {
+                // first row: no incoming carry, dst = bal (initializes out)
+                for (long long i = 0; i < n; ++i) {
+                    int64_t dj = (int64_t)row[i];
+                    int64_t c = dj > hq;
+                    carry[i] = c;
+                    dst[i] = (double)(dj - (c ? q : 0));
+                }
+            } else if (is_sentinel) {
+                int64_t* tp = top + r * n;
+                int64_t nz = 0;
+                for (long long i = 0; i < n; ++i) {
+                    int64_t dj = (int64_t)row[i] + carry[i];
+                    int64_t bal = dj - (dj > hq ? q : 0);
+                    tp[i] = bal;
+                    nz |= bal;
+                }
+                if (nz) any_top = 1;
+            } else {
+                for (long long i = 0; i < n; ++i) {
+                    int64_t dj = (int64_t)row[i] + carry[i];
+                    int64_t c = dj > hq;
+                    carry[i] = c;
+                    dst[i] += (double)(dj - (c ? q : 0)) * weight;
+                }
+            }
+            if (!is_sentinel) weight *= (double)q;
+        }
+        if (K == 0) std::memset(dst, 0, n * sizeof(double));
+    }
+    if (top_nonzero) *top_nonzero = split_top ? any_top : 0;
+}
+
+// ---------------------------------------------------------------------------
 // Host negacyclic NTT (oracle / keygen helper); same no-bitreversal layout as
 // the TPU kernels: CT forward natural->bitrev, Shoup-free u128 mulmod.
 // ---------------------------------------------------------------------------

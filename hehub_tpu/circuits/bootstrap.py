@@ -327,12 +327,15 @@ def make_babies(
     s = plans[0].slot_count
     B = max(p.B for p in plans)
     needed = {b for p in plans for (_, b) in p.pts}
+    steps = {b: (-b) % s for b in range(1, B) if b in needed}
+    # hoisted: one shared digit decomposition for all baby rotations
+    # (ckks.hoisted_rotations) instead of a full key switch per baby
+    rotated = ckks.hoisted_rotations(
+        ctx, ct, rot_keys, sorted(set(steps.values()))
+    )
     babies = {0: ct}
-    for b in range(1, B):
-        if b not in needed:
-            continue
-        step = (-b) % s
-        babies[b] = ckks.rotate(ctx, ct, rot_keys[step], step)
+    for b, step in steps.items():
+        babies[b] = rotated[step]
     return babies
 
 

@@ -18,13 +18,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from hehub_tpu.core import basecnv, galois, rns
+from hehub_tpu.native import loader
 from hehub_tpu.core.context import CkksParams, Context, make_context
 from hehub_tpu.core.rns import COEFF, NTT, RnsPoly
 from hehub_tpu.ops import modarith as ma
@@ -96,8 +97,17 @@ def _twist(n: int) -> np.ndarray:
     return np.exp(1j * np.pi * np.arange(n) / n)
 
 
-try:  # scipy's pocketfft is ~1.5x numpy's on these shapes
-    from scipy.fft import fft as _fft, ifft as _ifft
+try:  # scipy's pocketfft is ~1.5x numpy's on these shapes, and its
+    # workers= threads across batched rows (bootstrap plans encode many
+    # diagonals in one call; single transforms are unaffected)
+    from scipy.fft import fft as _sfft, ifft as _sifft
+
+    def _fft(a, axis=-1):
+        return _sfft(a, axis=axis, workers=-1)
+
+    def _ifft(a, axis=-1):
+        return _sifft(a, axis=axis, workers=-1)
+
 except ImportError:  # pragma: no cover
     _fft, _ifft = np.fft.fft, np.fft.ifft
 
@@ -165,13 +175,46 @@ def _slots_to_read(coeffs: np.ndarray, n: int, count: int) -> np.ndarray:
 def _digitize(coeffs: np.ndarray):
     """Exact base-2^22 digit split of integer-valued float64 coefficients
     (rint and the float64->int64 conversion are exact for |c| < 2^62).
-    Returns (digits uint32 [..., 3, n], neg uint32 [..., n])."""
+    Returns (digits uint32 [..., 3, n], neg uint32 [..., n]).
+
+    Uses the single-pass C++ kernel when the native runtime is built
+    (~5x the multi-pass numpy chain at n=16384); both paths are exact and
+    bitwise identical (llrint under round-to-nearest-even == np.rint)."""
+    if loader.available():
+        return loader.digitize(np.ascontiguousarray(coeffs))
     x = np.rint(coeffs)
     if np.abs(x).max(initial=0.0) >= float(1 << 62):
         raise ValueError(
             "encoded coefficients exceed 2^62; lower the scaling factor"
         )
     return basecnv.digitize_signed(x.astype(np.int64))
+
+
+def _encode_host(data: np.ndarray, n: int, scale: float):
+    """Host half of encode: slot FFT + twist + scale + digit split ->
+    (digits, neg). With the native runtime, everything around the FFT is
+    two fused C++ passes (gather+conj in; twist+rint+split out); the numpy
+    fallback is the equivalent multi-pass chain."""
+    half = n // 2
+    if data.shape[-1] < half:
+        padded = np.zeros((*data.shape[:-1], half), dtype=np.complex128)
+        padded[..., : data.shape[-1]] = data
+        data = padded
+    if loader.available():
+        invj, _, tw_enc, _ = _half_transform_tables(n)
+        u = _fft(loader.encode_pre(data, invj), axis=-1)
+        return loader.encode_post(u, tw_enc, scale)
+    return _digitize(_coeffs_from_slots(data, n) * scale)
+
+
+def _decode_host(coeffs: np.ndarray, n: int, scale: float, count: int):
+    """Host half of decode: 1/scale + twist + slot iFFT -> complex slots
+    (the exact inverse of _encode_host's transform)."""
+    if loader.available():
+        _, j, _, tw_dec = _half_transform_tables(n)
+        vals = _ifft(loader.decode_pre(coeffs, tw_dec, scale), axis=-1)
+        return loader.decode_post(vals, j, count)
+    return _slots_to_read(coeffs / scale, n, count)
 
 
 # device residue decomposition of digitized coefficients (shared core op)
@@ -199,7 +242,7 @@ def encode(
     data = np.atleast_1d(np.asarray(data, dtype=np.complex128))
     if data.shape[-1] > n // 2:
         raise ValueError(f"can encode at most {n//2} slots")
-    digits, neg = _digitize(_coeffs_from_slots(data, n) * scale)
+    digits, neg = _encode_host(data, n, scale)
     ids = tuple(range(len(params.moduli) - level))
     resid = _decompose_jit(ctx, ids)(digits, neg)
     return CkksPt(RnsPoly(resid, COEFF, ids), float(scale))
@@ -286,7 +329,7 @@ def decode(
         digits = np.asarray(_garner_jit(ctx, poly.limb_ids, K + 1)(poly.data))
         coeffs, top = _mixed_radix_to_float(digits, mods[: K + 1],
                                             split_top=True)
-        if np.any(top):
+        if top is not None and np.any(top):
             digits = np.asarray(
                 _garner_jit(ctx, poly.limb_ids, len(mods))(poly.data)
             )
@@ -294,7 +337,7 @@ def decode(
     else:
         digits = np.asarray(_garner_jit(ctx, poly.limb_ids, K)(poly.data))
         coeffs = _mixed_radix_to_float(digits, mods[:K])
-    return _slots_to_read(coeffs / pt.scaling_factor, n, count)
+    return _decode_host(coeffs, n, pt.scaling_factor, count)
 
 
 def _mixed_radix_to_float(digits: np.ndarray, mods, split_top: bool = False):
@@ -304,7 +347,11 @@ def _mixed_radix_to_float(digits: np.ndarray, mods, split_top: bool = False):
 
     split_top=True: the last digit row is treated as an overflow sentinel —
     it is excluded from the value and the pair (value, balanced top digits)
-    is returned (top all-zero iff the value fits in the first K−1 limbs)."""
+    is returned (top all-zero — or None from the C++ path — iff the value
+    fits in the first K−1 limbs). The single-pass C++ kernel is used when
+    built; results are bitwise identical to this numpy fallback."""
+    if loader.available():
+        return loader.mixed_radix(digits, mods, split_top)
     K = digits.shape[-2]
     d = digits.astype(np.int64)
     carry = np.zeros(d.shape[:-2] + d.shape[-1:], np.int64)
@@ -512,3 +559,42 @@ def rotate(ctx, ct: CkksCt, rk: rgsw_mod.RgswCt, step: int) -> CkksCt:
     r0, r1 = galois.cycle(ct.c0, step), galois.cycle(ct.c1, step)
     d0, d1 = _key_switch_permuted(ctx, r1, rk)
     return CkksCt(rns.add(ctx, d0, r0), d1, ct.scaling_factor)
+
+
+def hoisted_rotations(
+    ctx,
+    ct: CkksCt,
+    rot_keys: Dict[int, rgsw_mod.RgswCt],
+    steps: Sequence[int],
+) -> Dict[int, CkksCt]:
+    """Many rotations of ONE ciphertext sharing a single key-switch digit
+    decomposition ("hoisting" — no referent in the reference, whose rotate
+    recomputes the l·(l+s) digit NTTs per call, rgsw.cpp:91-119).
+
+    Galois automorphisms act on NTT values as pure gathers and RNS digit
+    decomposition is linear, so gather(digits(c1)) is a valid digit vector
+    for cycle(c1): congruent to it mod each q_g with the same magnitude
+    bound (the residue representative differs — q_g−x vs q_j−x at negated
+    coefficients — so results are not bitwise identical to rotate(), but
+    carry identical noise). Cost: ONE decomposition (l INTT + l·(l+s) NTT)
+    plus, per step, a gather + Montgomery contraction + special division —
+    the per-rotation transform count drops from l·(l+s)+l to the division's
+    alone. Used by the BSGS baby steps in bootstrap/linear transforms."""
+    out: Dict[int, CkksCt] = {}
+    steps = [s for s in steps]
+    if not steps:
+        return out
+    level = ct.c1.limb_count
+    n = ct.c1.dimension
+    k0 = rot_keys[steps[0]].at_level(level, ctx.num_special)
+    digits = rgsw_mod.ks_digits(ctx, ct.c1, k0)  # [..., D, L_ext, n]
+    for st in steps:
+        idx = jnp.asarray(galois.cycle_indices(n, st % n))
+        d_perm = jnp.take(digits, idx, axis=-1)
+        k = rot_keys[st].at_level(level, ctx.num_special)
+        d0, d1 = rgsw_mod.ks_contract(ctx, d_perm, k)
+        for _ in range(ctx.num_special):
+            d0, d1 = basecnv.div_last_rounded_pair(ctx, d0, d1)
+        r0 = galois.cycle(ct.c0, st)
+        out[st] = CkksCt(rns.add(ctx, d0, r0), d1, ct.scaling_factor)
+    return out

@@ -30,6 +30,9 @@ def _lib():
                     "g++",
                     "-O3",
                     "-march=native",
+                    # no FMA contraction: hh_mixed_radix must round exactly
+                    # like the numpy fallback (bitwise-equal contract)
+                    "-ffp-contract=off",
                     "-shared",
                     "-fPIC",
                     "-std=c++17",
@@ -64,7 +67,99 @@ def _lib():
     lib.hh_ntt_fwd.argtypes = [u32p, ctypes.c_longlong, ctypes.c_uint64, u32p]
     lib.hh_ntt_inv.argtypes = [
         u32p, ctypes.c_longlong, ctypes.c_uint64, u32p, ctypes.c_uint64]
+    lib.hh_digitize.argtypes = [
+        f64p, ctypes.c_longlong, ctypes.c_longlong, u32p, u32p]
+    lib.hh_digitize.restype = ctypes.c_int
+    lib.hh_mixed_radix.argtypes = [
+        u32p, ctypes.c_longlong, ctypes.c_int, ctypes.c_longlong, u64p,
+        ctypes.c_int, f64p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.hh_mixed_radix.restype = None
+    lib.hh_encode_pre.argtypes = [
+        f64p, i64p, ctypes.c_longlong, ctypes.c_longlong, f64p]
+    lib.hh_encode_pre.restype = None
+    lib.hh_encode_post.argtypes = [
+        f64p, f64p, ctypes.c_double, ctypes.c_longlong, ctypes.c_longlong,
+        u32p, u32p]
+    lib.hh_encode_post.restype = ctypes.c_int
+    lib.hh_decode_pre.argtypes = [
+        f64p, f64p, ctypes.c_double, ctypes.c_longlong, ctypes.c_longlong,
+        f64p]
+    lib.hh_decode_pre.restype = None
+    lib.hh_decode_post.argtypes = [
+        f64p, i64p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        f64p]
+    lib.hh_decode_post.restype = None
     return lib
+
+
+def _as_f64(a: np.ndarray) -> np.ndarray:
+    """Interleaved-double view of a C-contiguous complex128 array."""
+    return np.ascontiguousarray(a, np.complex128).view(np.float64)
+
+
+def encode_pre(data: np.ndarray, invj: np.ndarray) -> np.ndarray:
+    """Slot order -> DFT bin order with odd-slot conjugation folded:
+    one gather pass instead of copy + conj + fancy-index."""
+    c = np.ascontiguousarray(data, np.complex128)
+    half = c.shape[-1]
+    rows = c.size // half
+    out = np.empty(c.shape, np.complex128)
+    _lib().hh_encode_pre(
+        c.view(np.float64).reshape(rows, 2 * half),
+        np.ascontiguousarray(invj, np.int64), rows, half,
+        out.view(np.float64).reshape(rows, 2 * half),
+    )
+    return out
+
+
+def encode_post(u: np.ndarray, tw: np.ndarray, scale: float):
+    """FFT output -> (digits, neg): twist, scale, rint, and the base-2^22
+    split fused into one pass (replaces 4 numpy passes + digitize)."""
+    c = np.ascontiguousarray(u, np.complex128)
+    half = c.shape[-1]
+    rows = c.size // half
+    n = 2 * half
+    digits = np.empty((*c.shape[:-1], 3, n), np.uint32)
+    neg = np.empty((*c.shape[:-1], n), np.uint32)
+    if _lib().hh_encode_post(
+        c.view(np.float64).reshape(rows, 2 * half), _as_f64(tw),
+        float(scale), rows, half,
+        digits.reshape(rows, 3, n), neg.reshape(rows, n),
+    ):
+        raise ValueError(
+            "encoded coefficients exceed 2^62; lower the scaling factor"
+        )
+    return digits, neg
+
+
+def decode_pre(coeffs: np.ndarray, tw: np.ndarray, scale: float) -> np.ndarray:
+    """Real coefficients [..., n] -> twisted complex [..., n/2] ready for
+    the iFFT: complex build + 1/scale + twist in one pass."""
+    c = np.ascontiguousarray(coeffs, np.float64)
+    n = c.shape[-1]
+    half = n // 2
+    rows = c.size // n
+    out = np.empty((*c.shape[:-1], half), np.complex128)
+    _lib().hh_decode_pre(
+        c.reshape(rows, n), _as_f64(tw), float(scale), rows, half,
+        out.view(np.float64).reshape(rows, 2 * half),
+    )
+    return out
+
+
+def decode_post(vals: np.ndarray, j: np.ndarray, count: int) -> np.ndarray:
+    """iFFT output -> first `count` slots (gather + odd-position conj)."""
+    c = np.ascontiguousarray(vals, np.complex128)
+    half = c.shape[-1]
+    rows = c.size // half
+    out = np.empty((*c.shape[:-1], count), np.complex128)
+    _lib().hh_decode_post(
+        c.view(np.float64).reshape(rows, 2 * half),
+        np.ascontiguousarray(j, np.int64), rows, half, count,
+        out.view(np.float64).reshape(rows, 2 * count),
+    )
+    return out
 
 
 def available() -> bool:
@@ -101,6 +196,53 @@ def decompose_i64(coeffs: np.ndarray, moduli) -> np.ndarray:
     out = np.empty((len(mods), flat.size), np.uint32)
     lib.hh_decompose_i64(flat, flat.size, mods, len(mods), out)
     return np.moveaxis(out.reshape(len(mods), *coeffs.shape), 0, -2)
+
+
+def digitize(coeffs: np.ndarray):
+    """Single-pass rint + base-2^22 digit split of float64 coefficients
+    [..., n]: returns (digits u32 [..., 3, n], neg u32 [..., n]). Raises on
+    |rint(x)| >= 2^62, matching the numpy path (basecnv.digitize_signed)."""
+    lib = _lib()
+    c = np.ascontiguousarray(coeffs, np.float64)
+    n = c.shape[-1]
+    rows = c.size // n
+    digits = np.empty((*c.shape[:-1], 3, n), np.uint32)
+    neg = np.empty(c.shape, np.uint32)
+    if lib.hh_digitize(c.reshape(rows, n), rows, n,
+                       digits.reshape(rows, 3, n), neg.reshape(rows, n)):
+        raise ValueError(
+            "encoded coefficients exceed 2^62; lower the scaling factor"
+        )
+    return digits, neg
+
+
+def mixed_radix(digits: np.ndarray, mods, split_top: bool = False):
+    """Balanced-digit carry pass: Garner digits [..., K, n] -> centered
+    float64 values [..., n]. split_top=True additionally returns the
+    balanced top-digit row as int64 (the decode overflow sentinel) — but
+    only materializes it when some sentinel digit is nonzero (None means
+    'all zero', saving the array round trip in the common case)."""
+    lib = _lib()
+    d = np.ascontiguousarray(digits, np.uint32)
+    K, n = d.shape[-2], d.shape[-1]
+    rows = d.size // (K * n)
+    out = np.empty((*d.shape[:-2], n), np.float64)
+    mods_arr = np.asarray(list(mods), np.uint64)
+    if split_top:
+        top = np.empty((*d.shape[:-2], n), np.int64)
+        nz = ctypes.c_int(0)
+        lib.hh_mixed_radix(
+            d.reshape(rows, K, n), rows, K, n, mods_arr, 1,
+            out.reshape(rows, n),
+            top.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.byref(nz),
+        )
+        return out, (top if nz.value else None)
+    lib.hh_mixed_radix(
+        d.reshape(rows, K, n), rows, K, n, mods_arr, 0, out.reshape(rows, n),
+        None, None,
+    )
+    return out
 
 
 def is_prime(n: int) -> bool:

@@ -147,6 +147,71 @@ def _digit_groups(l: int, alpha: int):
     return [tuple(range(g, min(g + alpha, l))) for g in range(0, l, alpha)]
 
 
+def ks_digits(ctx: Context, poly: RnsPoly, rgsw: RgswCt) -> jnp.ndarray:
+    """Key-switch digit decomposition of `poly` under `rgsw`'s basis,
+    returned in NTT form over the extended limbs: [..., D, L_ext, n].
+
+    Split out of ext_prod so the decomposition can be HOISTED: computed
+    once and shared by many automorphism key-switches of the same
+    ciphertext (Galois automorphisms are pure gathers on NTT values, and
+    RNS digit decomposition is linear, so permuting the digits equals
+    decomposing the permuted polynomial up to the signed/strict residue
+    representative — equally valid digits with the same noise bound).
+    The digit NTTs are the dominant cost of a rotation (l·(l+s)
+    transforms); sharing them across B rotations pays ~B× on that block.
+    """
+    if poly.form != NTT:
+        raise ValueError("ks_digits expects NTT form")
+    l = poly.limb_count
+    ids = poly.limb_ids
+    ids_ext = rgsw.limb_ids
+    if ids_ext[:l] != ids or len(ids_ext) - l < 1:
+        raise ValueError(f"rgsw limbs {ids_ext} do not extend poly limbs {ids}")
+    groups = _digit_groups(l, rgsw.alpha)
+    if len(groups) > rgsw.rows:
+        raise ValueError(
+            f"key has {rgsw.rows} digit rows but level {l} at "
+            f"alpha={rgsw.alpha} needs {len(groups)}"
+        )
+    d = rns.reduce_strict(ctx, rns.to_coeff(ctx, poly))
+    n = poly.dimension
+    if rgsw.alpha == 1:
+        tiled = jnp.broadcast_to(
+            d.data[..., :, None, :],
+            (*d.data.shape[:-2], l, len(ids_ext), n),
+        )
+    else:
+        from hehub_tpu.core import basecnv
+
+        digit_list = []
+        for grp in groups:
+            grp_poly = rns.take_limbs(d, grp)
+            conv = basecnv.base_convert(ctx, grp_poly, ids_ext, signed=True)
+            digit_list.append(conv.data)
+        tiled = jnp.stack(digit_list, axis=-3)
+    return nttmod.ntt(ctx, tiled, ids_ext)
+
+
+def ks_contract(ctx: Context, digits: jnp.ndarray, rgsw: RgswCt) -> rlwe_mod.RlweCt:
+    """Montgomery contraction of NTT-form digits [..., D, L_ext, n] against
+    the key rows (the second half of ext_prod; ≙ rgsw.cpp:121-153)."""
+    ids_ext = rgsw.limb_ids
+    q = ctx.rows("q", ids_ext)
+    two_q = ctx.rows("two_q", ids_ext)
+    neg_qinv = ctx.rows("neg_qinv", ids_ext)
+    n_dig = digits.shape[-3]
+    halves = []
+    for half in range(2):
+        acc = None
+        for g in range(n_dig):
+            prod = ma.mont_mul_lazy(
+                digits[..., g, :, :], rgsw.data[g, half], q, neg_qinv
+            )
+            acc = prod if acc is None else ma.add_lazy(acc, prod, two_q)
+        halves.append(RnsPoly(acc, NTT, ids_ext))
+    return rlwe_mod.RlweCt(halves[0], halves[1])
+
+
 def ext_prod(ctx: Context, poly: RnsPoly, rgsw: RgswCt) -> rlwe_mod.RlweCt:
     """External product: the hottest compound kernel
     (≙ ext_prod_montgomery, rgsw.cpp:57-156).
@@ -177,9 +242,6 @@ def ext_prod(ctx: Context, poly: RnsPoly, rgsw: RgswCt) -> rlwe_mod.RlweCt:
             f"needs {len(groups)}"
         )
 
-    # digits: coeff-form strict residues of each limb
-    d = rns.reduce_strict(ctx, rns.to_coeff(ctx, poly))  # [..., l, n], [0, q_i)
-
     n = poly.dimension
     from hehub_tpu import config
 
@@ -189,6 +251,8 @@ def ext_prod(ctx: Context, poly: RnsPoly, rgsw: RgswCt) -> rlwe_mod.RlweCt:
             # per output limb (bitwise equal to the XLA path below)
             from hehub_tpu.ops.pallas import extprod_pallas
 
+            # digits: coeff-form strict residues of each limb, [0, q_i)
+            d = rns.reduce_strict(ctx, rns.to_coeff(ctx, poly))
             batch_shape = d.data.shape[:-2]
             digits = d.data.reshape(-1, l, n)
             key_t = jnp.transpose(rgsw.data[:l], (2, 0, 1, 3))
@@ -207,17 +271,14 @@ def ext_prod(ctx: Context, poly: RnsPoly, rgsw: RgswCt) -> rlwe_mod.RlweCt:
         # inputs under q_j. (The reference keeps the original NTT values on
         # the diagonal, rgsw.cpp:99-101, purely to skip those transforms;
         # the re-NTT'd digit is the same value mod q_i.)
-        tiled = jnp.broadcast_to(
-            d.data[..., :, None, :],
-            (*d.data.shape[:-2], l, len(ids_ext), n),
-        )
-        D = nttmod.ntt(ctx, tiled, ids_ext)
+        return ks_contract(ctx, ks_digits(ctx, poly, rgsw), rgsw)
     else:
         # alpha > 1: signed fast base conversion of each limb group into the
         # full extended basis (the general k->m conversion the reference
         # leaves "under development", rns_transform.cpp:123)
         from hehub_tpu.core import basecnv
 
+        d = rns.reduce_strict(ctx, rns.to_coeff(ctx, poly))
         digit_list = []
         for grp in groups:
             grp_poly = rns.take_limbs(d, grp)
@@ -245,17 +306,4 @@ def ext_prod(ctx: Context, poly: RnsPoly, rgsw: RgswCt) -> rlwe_mod.RlweCt:
                     RnsPoly(h.reshape(*batch_shape, len(ids_ext), n), NTT, ids_ext)
                 )
             return rlwe_mod.RlweCt(halves[0], halves[1])
-        D = nttmod.ntt(ctx, tiled, ids_ext)
-
-    q = ctx.rows("q", ids_ext)
-    two_q = ctx.rows("two_q", ids_ext)
-    neg_qinv = ctx.rows("neg_qinv", ids_ext)
-
-    halves = []
-    for half in range(2):
-        acc = None
-        for g in range(len(groups)):
-            prod = ma.mont_mul_lazy(D[..., g, :, :], rgsw.data[g, half], q, neg_qinv)
-            acc = prod if acc is None else ma.add_lazy(acc, prod, two_q)
-        halves.append(RnsPoly(acc, NTT, ids_ext))
-    return rlwe_mod.RlweCt(halves[0], halves[1])
+        return ks_contract(ctx, nttmod.ntt(ctx, tiled, ids_ext), rgsw)

@@ -147,6 +147,32 @@ def test_rotate_and_conjugate():
     np.testing.assert_allclose(got, np.conj(data), atol=2**-9)
 
 
+def test_hoisted_rotations():
+    """hoisted_rotations (one shared digit decomposition, no reference
+    counterpart — its rotate redoes the digit NTTs per call) must match
+    both np.roll semantics and the per-call rotate() up to key-switch
+    noise; also at a dropped level, exercising at_level key slicing."""
+    params, ctx, sk = setup()
+    data = rand_data(N // 2)
+    ct = ckks.encrypt(ctx, ckks.encode(data, params), sk, jax.random.key(10))
+    steps = (1, 3, N // 4)
+    rks = {s: keys_mod.rot_key(ctx, sk, s, jax.random.key(100 + s))
+           for s in steps}
+    outs = ckks.hoisted_rotations(ctx, ct, rks, steps)
+    for step in steps:
+        got = ckks.decode(ckks.decrypt(ctx, outs[step], sk), params)
+        np.testing.assert_allclose(got, np.roll(data, step), atol=2**-9)
+        ref = ckks.decode(
+            ckks.decrypt(ctx, ckks.rotate(ctx, ct, rks[step], step), sk),
+            params,
+        )
+        np.testing.assert_allclose(got, ref, atol=2**-9)
+    ct_low = ckks.mod_drop(ctx, ct)
+    outs_low = ckks.hoisted_rotations(ctx, ct_low, rks, steps[:1])
+    got = ckks.decode(ckks.decrypt(ctx, outs_low[steps[0]], sk), params)
+    np.testing.assert_allclose(got, np.roll(data, steps[0]), atol=2**-9)
+
+
 def test_batched_ciphertexts():
     """Leading batch dims: many ciphertexts in one tensor op (the FHE analog
     of data parallelism, new in the TPU design)."""
@@ -296,3 +322,73 @@ def test_scalar_encode_decode():
     got = ckks.decode_scalar(ckks.decrypt(ctx, ct, sk), params)
     # averaging n/2 slots shrinks fresh noise by ~sqrt(n/2)
     assert abs(got - 0.375) < 2**-14
+
+
+def test_native_host_kernels_match_numpy():
+    """The C++ host pipeline (native/loader: digitize, mixed_radix,
+    encode/decode pre+post) vs the pure-numpy fallbacks. Integer kernels
+    must be BITWISE equal; the float transform halves agree to <=1 ulp
+    (numpy's vectorized complex multiply FMA-contracts; the C++ is
+    compiled -ffp-contract=off to match numpy's *integer* semantics
+    exactly, see csrc/hehub_native.cpp)."""
+    from hehub_tpu.native import loader
+
+    if not loader.available():
+        pytest.skip("native runtime not built")
+    n = 512
+    half = n // 2
+    scale = 2.0**28
+    mods = [1073643521, 1073479681, 1072496641, 1071513601]
+
+    def with_fallback(fn):
+        orig = loader.available
+        loader.available = lambda: False
+        try:
+            return fn()
+        finally:
+            loader.available = orig
+
+    # digitize: bitwise, incl. half-to-even ties and negatives, batched
+    c = RNG.uniform(-(2.0**55), 2.0**55, (3, n))
+    c[0, :6] = [0.5, -0.5, 1.5, 2.5, -2.5, 2.0**61]
+    ref = with_fallback(lambda: ckks._digitize(c))
+    got = ckks._digitize(c)
+    np.testing.assert_array_equal(got[0], ref[0])
+    np.testing.assert_array_equal(got[1], ref[1])
+    with pytest.raises(ValueError):
+        ckks._digitize(np.array([2.0**62]))
+
+    # mixed radix: bitwise, plain + sentinel split
+    dg = RNG.integers(0, mods[0], (2, 4, n)).astype(np.uint32)
+    ref = with_fallback(lambda: ckks._mixed_radix_to_float(dg, mods))
+    np.testing.assert_array_equal(ckks._mixed_radix_to_float(dg, mods), ref)
+    ref_v, ref_top = with_fallback(
+        lambda: ckks._mixed_radix_to_float(dg, mods, split_top=True))
+    got_v, got_top = ckks._mixed_radix_to_float(dg, mods, split_top=True)
+    np.testing.assert_array_equal(got_v, ref_v)
+    if got_top is None:
+        assert not np.any(ref_top)
+    else:
+        np.testing.assert_array_equal(got_top, ref_top)
+
+    # encode host: digit output identical (rint absorbs the <=1 ulp
+    # transform difference except at exact .5 ties, absent here)
+    data = RNG.uniform(-1, 1, (2, half)) + 1j * RNG.uniform(-1, 1, (2, half))
+    ref = with_fallback(lambda: ckks._encode_host(data, n, scale))
+    got = ckks._encode_host(data, n, scale)
+    np.testing.assert_array_equal(got[0], ref[0])
+    np.testing.assert_array_equal(got[1], ref[1])
+    # short input takes the padding branch
+    short = data[..., :5]
+    ref = with_fallback(lambda: ckks._encode_host(short, n, scale))
+    got = ckks._encode_host(short, n, scale)
+    np.testing.assert_array_equal(got[0], ref[0])
+
+    # decode host: <=1 ulp, full + partial count
+    coeffs = np.round(RNG.uniform(-(2.0**40), 2.0**40, (2, n)))
+    ref = with_fallback(lambda: ckks._decode_host(coeffs, n, scale, half))
+    np.testing.assert_allclose(
+        ckks._decode_host(coeffs, n, scale, half), ref, rtol=1e-13)
+    ref = with_fallback(lambda: ckks._decode_host(coeffs, n, scale, 7))
+    np.testing.assert_allclose(
+        ckks._decode_host(coeffs, n, scale, 7), ref, rtol=1e-13)

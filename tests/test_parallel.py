@@ -6,6 +6,8 @@ single-device execution for the NTT and for the full CKKS
 mult+relin+rescale step, i.e. the collectives GSPMD inserts for the
 external product's cross-limb digit broadcast do not change the math."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -239,3 +241,60 @@ def test_pipeline_parallel_heterogeneous_stages():
         np.testing.assert_array_equal(
             np.asarray(outs[m].c1.data), np.asarray(seq.c1.data))
         assert abs(outs[m].scaling_factor - seq.scaling_factor) < 1e-3
+
+
+@pytest.mark.skipif(os.environ.get("HEHUB_SLOW") != "1",
+                    reason="two full-refresh compiles take ~0.5h on CPU; "
+                           "HEHUB_SLOW=1")
+def test_batch_sharded_bootstrap():
+    """The flagship circuit under data parallelism: a batch of 8 CKKS
+    refreshes sharded over the 8-device mesh is BITWISE equal to the same
+    compiled program on one device. The bootstrap is batch-local (Galois
+    gathers act on the slot axis, keys are replicated), so GSPMD needs no
+    collectives — this checks the whole pipeline (mod-raise, BSGS linear
+    transforms, Chebyshev EvalMod) really is embarrassingly parallel over
+    the batch axis (SURVEY §2.6 rows 1/5; ckks_boot.h is empty upstream)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hehub_tpu.circuits import bootstrap as bs
+    from hehub_tpu.models import ckks
+    from hehub_tpu.rlwe import keys as keys_mod
+    from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+    n, batch = 128, 8
+    params = bs.make_boot_params(n, num_levels=16, two_limb_scale=False)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rot_keys = {st: keys_mod.rot_key(ctx, sk, st, jax.random.key(100 + st))
+                for st in bs.bootstrap_rotation_steps(params)}
+    ck = keys_mod.conj_key(ctx, sk, jax.random.key(5))
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-1, 1, (batch, n // 2))
+    pt = ckks.encode(v, params, scaling_factor=2.0**22,
+                     level=len(params.moduli) - 1)
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(7))
+
+    # degree 63 covers the 11 sine periods of k_bound=5 (degree 31 is
+    # enough only for the bitwise-equality half of this test, not decode)
+    booter = bs.Bootstrapper(ctx, params, rlk, rot_keys, ck, k_bound=5,
+                             degree=63)
+    compiled = bs.CompiledBootstrapper(booter, ct)
+    ref = compiled(ct)
+
+    mesh = pmesh.make_mesh(batch, 1)
+    sh = NamedSharding(mesh, P(pmesh.BATCH_AXIS, None, None))
+    ct_sh = ckks.CkksCt(
+        rns.RnsPoly(jax.device_put(ct.c0.data, sh), rns.NTT, ct.c0.limb_ids),
+        rns.RnsPoly(jax.device_put(ct.c1.data, sh), rns.NTT, ct.c1.limb_ids),
+        ct.scaling_factor,
+    )
+    out = compiled(ct_sh)
+    assert len(out.c0.data.sharding.device_set) == batch
+    np.testing.assert_array_equal(np.asarray(out.c0.data),
+                                  np.asarray(ref.c0.data))
+    np.testing.assert_array_equal(np.asarray(out.c1.data),
+                                  np.asarray(ref.c1.data))
+    got = np.real(ckks.decode(ckks.decrypt(ctx, out, sk), params))
+    assert np.abs(got - v).max() < 5e-2
