@@ -57,6 +57,16 @@ def matrix_vector_mul(
     level = len(params.moduli) - ct_vec.level
     scale = ct_vec.scaling_factor
 
+    # Narrow path: all rotations act on the ORIGINAL ct_vec, so one hoisted
+    # digit decomposition (ckks.hoisted_rotations) serves every step — the
+    # reference's loop re-runs the full key switch per rotation
+    # (linear_algebra.h:104-123). The full-width path stays a sequential
+    # rotate-by-1 chain: it needs (and the API promises) only rot_keys[1].
+    rotated = {}
+    if not full_width and width > 1:
+        steps = mv_mul_requiring_steps(slots, width)
+        rotated = ckks.hoisted_rotations(ctx, ct_vec, rot_keys, steps)
+
     ct_rotating = ct_vec
     acc = None
     for i in range(width):
@@ -72,9 +82,5 @@ def matrix_vector_mul(
             else:
                 s = i + 1
                 s2 = s + slots - width
-                ct_rotating = ckks.add(
-                    ctx,
-                    ckks.rotate(ctx, ct_vec, rot_keys[s], s),
-                    ckks.rotate(ctx, ct_vec, rot_keys[s2], s2),
-                )
+                ct_rotating = ckks.add(ctx, rotated[s], rotated[s2])
     return ckks.rescale(ctx, acc)
