@@ -359,7 +359,10 @@ def apply_lt_plan(
     if babies is None:
         babies = make_babies(ctx, ct, rot_keys, [plan])
 
-    acc = None
+    # giant steps are LAZY: each inner sum is key-switched into the
+    # extended basis and the special-prime division runs ONCE on the
+    # accumulated result (ckks.rotate_accumulate) instead of per giant
+    terms = []
     for g in range(G):
         inner = None
         for b in range(B):
@@ -370,10 +373,8 @@ def apply_lt_plan(
             inner = term if inner is None else ckks.add(ctx, inner, term)
         if inner is None:
             continue
-        if g:
-            step = (-g * B) % s
-            inner = ckks.rotate(ctx, inner, rot_keys[step], step)
-        acc = inner if acc is None else ckks.add(ctx, acc, inner)
+        terms.append((inner, ((-g * B) % s) if g else 0))
+    acc = ckks.rotate_accumulate(ctx, terms, rot_keys)
     return ckks.rescale(ctx, acc)
 
 

@@ -561,6 +561,50 @@ def rotate(ctx, ct: CkksCt, rk: rgsw_mod.RgswCt, step: int) -> CkksCt:
     return CkksCt(rns.add(ctx, d0, r0), d1, ct.scaling_factor)
 
 
+def rotate_accumulate(
+    ctx,
+    terms: Sequence[Tuple[CkksCt, int]],
+    rot_keys: Dict[int, rgsw_mod.RgswCt],
+) -> CkksCt:
+    """Σ_g rotate(ct_g, step_g) with ONE special-prime division.
+
+    Each nonzero-step term is key-switched into the extended (special-
+    prime) basis and the q·P→q rounding divisions are applied once to the
+    accumulated sum instead of once per rotation — the division is linear
+    up to rounding, and summing first replaces G rounding errors of ≤1/2
+    with one (no referent in the reference, whose rotate always divides,
+    rgsw.cpp:121-156). Step-0 terms are added directly after the division.
+    All terms must share limbs and scaling factor. Used for the giant
+    steps of BSGS linear transforms (circuits/bootstrap.apply_lt_plan)."""
+    if not terms:
+        raise ValueError("rotate_accumulate needs at least one term")
+    level = terms[0][0].c0.limb_count
+    scale = terms[0][0].scaling_factor
+    ext0 = ext1 = None  # accumulated key-switch halves, extended basis
+    base0 = base1 = None  # step-0 terms + rotated c0 parts, base limbs
+    for ct, step in terms:
+        if abs(ct.scaling_factor - scale) > 1e-6 * scale:
+            raise ValueError("rotate_accumulate terms must share the scale")
+        if step % ct.c1.dimension == 0:
+            base0 = ct.c0 if base0 is None else rns.add(ctx, base0, ct.c0)
+            base1 = ct.c1 if base1 is None else rns.add(ctx, base1, ct.c1)
+            continue
+        r0 = galois.cycle(ct.c0, step)
+        r1 = galois.cycle(ct.c1, step)
+        k = rot_keys[step].at_level(level, ctx.num_special)
+        d = rgsw_mod.ext_prod(ctx, r1, k)  # extended basis, pre-division
+        ext0 = d.c0 if ext0 is None else rns.add(ctx, ext0, d.c0)
+        ext1 = d.c1 if ext1 is None else rns.add(ctx, ext1, d.c1)
+        base0 = r0 if base0 is None else rns.add(ctx, base0, r0)
+    if ext0 is None:
+        return CkksCt(base0, base1, scale)
+    for _ in range(ctx.num_special):
+        ext0, ext1 = basecnv.div_last_rounded_pair(ctx, ext0, ext1)
+    c0 = ext0 if base0 is None else rns.add(ctx, ext0, base0)
+    c1 = ext1 if base1 is None else rns.add(ctx, ext1, base1)
+    return CkksCt(c0, c1, scale)
+
+
 def hoisted_rotations(
     ctx,
     ct: CkksCt,

@@ -173,6 +173,30 @@ def test_hoisted_rotations():
     np.testing.assert_allclose(got, np.roll(data, steps[0]), atol=2**-9)
 
 
+def test_rotate_accumulate():
+    """Lazy giant-step accumulation: sum-of-rotations with ONE deferred
+    special-prime division must match the eager rotate-then-add result up
+    to key-switch noise (the division is linear up to rounding)."""
+    params, ctx, sk = setup()
+    rng = np.random.default_rng(21)
+    datas = [rand_data(N // 2) for _ in range(3)]
+    cts = [
+        ckks.encrypt(ctx, ckks.encode(d, params), sk, jax.random.key(30 + i))
+        for i, d in enumerate(datas)
+    ]
+    steps = (0, 2, 5)
+    rks = {s: keys_mod.rot_key(ctx, sk, s, jax.random.key(300 + s))
+           for s in steps if s}
+    out = ckks.rotate_accumulate(ctx, list(zip(cts, steps)), rks)
+    got = ckks.decode(ckks.decrypt(ctx, out, sk), params)
+    want = sum(np.roll(d, s) for d, s in zip(datas, steps))
+    np.testing.assert_allclose(got, want, atol=2**-8)
+    # all-step-0 path: plain sum, no key switch
+    out0 = ckks.rotate_accumulate(ctx, [(c, 0) for c in cts], {})
+    got0 = ckks.decode(ckks.decrypt(ctx, out0, sk), params)
+    np.testing.assert_allclose(got0, sum(datas), atol=2**-8)
+
+
 def test_batched_ciphertexts():
     """Leading batch dims: many ciphertexts in one tensor op (the FHE analog
     of data parallelism, new in the TPU design)."""
