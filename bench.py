@@ -138,16 +138,20 @@ def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
     return t_ee, t_dd, enc_parts, dec_parts
 
 
-def bench_bootstrap(n=4096, num_levels=28, degree=63):
-    """Full CKKS bootstrap on device as ONE jitted program: returns ms per
-    refresh (trace-based device time). Uses the production recipe: two-limb
-    working scale, Δ_in=2^26, arcsine correction (circuits/bootstrap.py).
+def bench_bootstrap(n=4096, num_levels=28, degree=63, split=None):
+    """Full CKKS bootstrap on device: returns ms per refresh (trace-based
+    device time). Uses the production recipe: two-limb working scale,
+    Δ_in=2^26, arcsine correction (circuits/bootstrap.py).
 
-    The one-time XLA compile of the ~10^4-op refresh takes tens of minutes
-    through the remote compile helper; the persistent compilation cache
-    (_enable_compile_cache) makes repeat runs — including the driver's —
-    take seconds. The keys are derived from fixed PRNG seeds so the traced
-    program is byte-identical across processes (a cache-hit requirement)."""
+    Default split=True compiles C2S / EvalMod / S2C as three independent
+    jitted programs (bitwise-equal to the monolithic refresh) and reports
+    the SUM of their device times — each stage is its own persistent-cache
+    entry, so an interrupted warm-up keeps the stages that finished and a
+    per-stage compile is minutes where the whole refresh is tens of
+    minutes through the remote compile helper. BENCH_BOOT_SPLIT=0 times
+    the monolithic single-program refresh instead. The keys are derived
+    from fixed PRNG seeds so the traced programs are byte-identical across
+    processes (a cache-hit requirement)."""
     import jax
 
     _enable_compile_cache()
@@ -185,14 +189,15 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63):
                              degree=degree, arcsine=True,
                              lt_stages=lt_stages)
 
-    # The whole refresh is ONE jitted program (eager dispatch through a
-    # remote backend would pay an RPC per op) with keys and plan plaintexts
-    # as jit PARAMETERS — baked constants would put hundreds of MB into the
+    # The refresh is jitted with keys and plan plaintexts as jit
+    # PARAMETERS — baked constants would put hundreds of MB into the
     # serialized HLO, which the remote-compile endpoint rejects (HTTP 413).
+    if split is None:
+        split = os.environ.get("BENCH_BOOT_SPLIT", "1") == "1"
     t0 = time.perf_counter()
-    refresh = bs.CompiledBootstrapper(booter, ct)
+    refresh = bs.CompiledBootstrapper(booter, ct, split=split)
     _err(f"[bench] bootstrap plan discovery+materialize: "
-         f"{time.perf_counter()-t0:.1f}s")
+         f"{time.perf_counter()-t0:.1f}s (split={split})")
     t0 = time.perf_counter()
     out_ct = refresh(ct)
     jax.block_until_ready(out_ct.c0.data)
@@ -200,12 +205,31 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63):
     got = np.real(ckks.decode(ckks.decrypt(ctx, out_ct, sk), params))
     err = float(np.abs(got - v).max())
     _err(f"[bench] bootstrap correctness: max err {err:.3e}")
-    t = profiling.device_time(
-        refresh._fn, (ct.c0.data, ct.c1.data, refresh._key_data,
-                      refresh._plan_pts),
-        iters=2, name="refresh",
-    )
-    return t * 1e3, err
+    kd, pp = refresh._key_data, refresh._plan_pts
+    if not split:
+        t = profiling.device_time(
+            refresh._fn, (ct.c0.data, ct.c1.data, kd, pp),
+            iters=2, name="refresh",
+        )
+        return t * 1e3, err
+    # split: time each stage (its own compiled program) and sum — the
+    # stages are sequentially dependent, so the refresh = the sum
+    fa, fb_re, fb_im, fc = (f for _, f in refresh.stage_fns())
+    a = fa(ct.c0.data, ct.c1.data, kd, pp)
+    wre = fb_re(a[0], a[1], kd, pp)
+    wim = fb_im(a[2], a[3], kd, pp)
+    total = 0.0
+    for name, fn, args in (
+        ("c2s", fa, (ct.c0.data, ct.c1.data, kd, pp)),
+        ("evalmod_re", fb_re, (a[0], a[1], kd, pp)),
+        ("evalmod_im", fb_im, (a[2], a[3], kd, pp)),
+        ("s2c", fc, (wre[0], wre[1], wim[0], wim[1], kd, pp)),
+    ):
+        # name=None -> filter by the jitted fn's own name (jit__stage_a...)
+        ts = profiling.device_time(fn, args, iters=2)
+        _err(f"[bench] bootstrap stage {name}: {ts*1e3:.2f} ms")
+        total += ts
+    return total * 1e3, err
 
 
 def _bootstrap_subprocess(n: int, timeout_s: float):

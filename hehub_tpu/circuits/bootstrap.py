@@ -1152,16 +1152,27 @@ class CompiledBootstrapper:
       3. compile — the refresh is traced with keys and plans bound to
          traced arguments and jitted. First call compiles (or replays the
          persistent compile cache); later calls run at device speed.
+
+    split=True compiles THREE independent programs instead of one —
+    CoeffToSlot, EvalMod (one program, run on both halves), SlotToCoeff —
+    each a separate persistent-cache entry. Per-stage compiles are minutes
+    where the monolithic refresh is tens of minutes through a remote
+    compile helper, and an interrupted warm-up keeps the stages that did
+    finish. Output is bitwise identical to the monolithic program
+    (tests/test_bootstrap.py::test_compiled_split_matches_monolithic).
     """
 
-    def __init__(self, booter: Bootstrapper, example_ct: ckks.CkksCt):
+    def __init__(self, booter: Bootstrapper, example_ct: ckks.CkksCt,
+                 split: bool = False):
         import jax
         import jax.numpy as jnp
 
         self.b = booter
+        self.split = bool(split)
         self.ids_in = example_ct.c0.limb_ids
         self.scale_in = float(example_ct.scaling_factor)
         self._out_meta = None
+        self._meta: Dict = {}
         b = booter
 
         self._key_data = {
@@ -1194,9 +1205,45 @@ class CompiledBootstrapper:
         ]
 
         # 3. jit with keys/plans as parameters
-        self._fn = jax.jit(self._refresh)
+        if not self.split:
+            self._fn = jax.jit(self._refresh)
+            return
 
-    def _refresh(self, c0, c1, key_data, plan_pts):
+        # split: chain eval_shape through the three stages to record the
+        # inter-stage (limb_ids, scaling_factor) metadata — host values
+        # produced while tracing — then jit each stage independently.
+        plan_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self._plan_pts
+        )
+        a_sh = jax.eval_shape(self._stage_a, ct_shape, ct_shape,
+                              key_shapes, plan_shapes)
+        (re_key, im_key) = self._meta["a"]
+        self._fn_b = {}
+        for kk, (i0, i1) in ((re_key, (0, 1)), (im_key, (2, 3))):
+            if kk not in self._fn_b:
+                f = self._make_stage_b(*kk)
+                jax.eval_shape(f, a_sh[i0], a_sh[i1], key_shapes,
+                               plan_shapes)
+                self._fn_b[kk] = jax.jit(f)
+        wre_ids, wre_scale = self._meta[("b",) + re_key]
+        wim_ids, wim_scale = self._meta[("b",) + im_key]
+        n = self.b.params.dimension
+        L = len(wre_ids)
+        w_sh = jax.ShapeDtypeStruct(
+            (*example_ct.c0.data.shape[:-2], L, n), jnp.uint32
+        )
+        Lim = len(wim_ids)
+        w_sh_im = jax.ShapeDtypeStruct(
+            (*example_ct.c0.data.shape[:-2], Lim, n), jnp.uint32
+        )
+        jax.eval_shape(self._stage_c, w_sh, w_sh, w_sh_im, w_sh_im,
+                       key_shapes, plan_shapes)
+        self._fn_a = jax.jit(self._stage_a)
+        self._fn_c = jax.jit(self._stage_c)
+
+    def _bind(self, key_data, plan_pts):
+        """Swap the booter's keys/plans for their traced-argument views;
+        returns the saved state for _restore."""
         b = self.b
         mk_key = lambda tmpl, data: rgsw_mod.RgswCt(
             data, tmpl.limb_ids, tmpl.alpha
@@ -1214,6 +1261,15 @@ class CompiledBootstrapper:
                 for i, k in enumerate(self._plan_order)
             }
             b._strict = True
+        return saved
+
+    def _restore(self, saved):
+        b = self.b
+        b.rlk, b.rot_keys, b.conj_key, b._plans, b._strict = saved
+
+    def _refresh(self, c0, c1, key_data, plan_pts):
+        b = self.b
+        saved = self._bind(key_data, plan_pts)
         try:
             ct = ckks.CkksCt(
                 rns.RnsPoly(c0, rns.NTT, self.ids_in),
@@ -1224,13 +1280,102 @@ class CompiledBootstrapper:
             self._out_meta = (out.c0.limb_ids, float(out.scaling_factor))
             return out.c0.data, out.c1.data
         finally:
-            b.rlk, b.rot_keys, b.conj_key, b._plans, b._strict = saved
+            self._restore(saved)
+
+    # ---- split-mode stages ------------------------------------------------
+
+    def _stage_a(self, c0, c1, key_data, plan_pts):
+        """mod-raise + CoeffToSlot -> the two half ciphertexts."""
+        b = self.b
+        saved = self._bind(key_data, plan_pts)
+        try:
+            ct = ckks.CkksCt(
+                rns.RnsPoly(c0, rns.NTT, self.ids_in),
+                rns.RnsPoly(c1, rns.NTT, self.ids_in),
+                self.scale_in,
+            )
+            z_re, z_im = b.coeff_to_slot(mod_raise(b.ctx, ct))
+            self._meta["a"] = (
+                (z_re.c0.limb_ids, float(z_re.scaling_factor)),
+                (z_im.c0.limb_ids, float(z_im.scaling_factor)),
+            )
+            return (z_re.c0.data, z_re.c1.data, z_im.c0.data, z_im.c1.data)
+        finally:
+            self._restore(saved)
+
+    def _make_stage_b(self, ids, scale):
+        """EvalMod at a static (limb_ids, scale) signature: both halves of
+        CoeffToSlot share one program when their signatures match."""
+        b = self.b
+
+        def stage_b(c0, c1, key_data, plan_pts):
+            saved = self._bind(key_data, plan_pts)
+            try:
+                ct = ckks.CkksCt(
+                    rns.RnsPoly(c0, rns.NTT, ids),
+                    rns.RnsPoly(c1, rns.NTT, ids), scale,
+                )
+                w = eval_mod(b.ctx, b.params, ct, b.rlk, b.k_bound,
+                             b.degree, b.arcsine, b.double_angle)
+                self._meta[("b", ids, scale)] = (
+                    w.c0.limb_ids, float(w.scaling_factor)
+                )
+                return w.c0.data, w.c1.data
+            finally:
+                self._restore(saved)
+
+        return stage_b
+
+    def _stage_c(self, re0, re1, im0, im1, key_data, plan_pts):
+        """SlotToCoeff + the output-scale fix."""
+        b = self.b
+        (re_key, im_key) = self._meta["a"]
+        wre_ids, wre_scale = self._meta[("b",) + re_key]
+        wim_ids, wim_scale = self._meta[("b",) + im_key]
+        saved = self._bind(key_data, plan_pts)
+        try:
+            w_re = ckks.CkksCt(
+                rns.RnsPoly(re0, rns.NTT, wre_ids),
+                rns.RnsPoly(re1, rns.NTT, wre_ids), wre_scale,
+            )
+            w_im = ckks.CkksCt(
+                rns.RnsPoly(im0, rns.NTT, wim_ids),
+                rns.RnsPoly(im1, rns.NTT, wim_ids), wim_scale,
+            )
+            out = b.slot_to_coeff(w_re, w_im)
+            q0 = b.ctx.mod_list[self.ids_in[0]]
+            scale = out.scaling_factor * self.scale_in / float(q0)
+            self._out_meta = (out.c0.limb_ids, float(scale))
+            return out.c0.data, out.c1.data
+        finally:
+            self._restore(saved)
+
+    def stage_fns(self):
+        """Split-mode stage callables with their example args, in refresh
+        order — for per-stage timing/warm-up (bench.py)."""
+        if not self.split:
+            raise ValueError("stage_fns requires split=True")
+        (re_key, im_key) = self._meta["a"]
+        return [
+            ("c2s", self._fn_a),
+            ("evalmod_re", self._fn_b[re_key]),
+            ("evalmod_im", self._fn_b[im_key]),
+            ("s2c", self._fn_c),
+        ]
 
     def __call__(self, ct: ckks.CkksCt) -> ckks.CkksCt:
         if abs(ct.scaling_factor - self.scale_in) > 1e-6 * self.scale_in:
             raise ValueError("compiled for a different input scale")
-        o0, o1 = self._fn(ct.c0.data, ct.c1.data, self._key_data,
-                          self._plan_pts)
+        if not self.split:
+            o0, o1 = self._fn(ct.c0.data, ct.c1.data, self._key_data,
+                              self._plan_pts)
+        else:
+            kd, pp = self._key_data, self._plan_pts
+            re0, re1, im0, im1 = self._fn_a(ct.c0.data, ct.c1.data, kd, pp)
+            (re_key, im_key) = self._meta["a"]
+            wre = self._fn_b[re_key](re0, re1, kd, pp)
+            wim = self._fn_b[im_key](im0, im1, kd, pp)
+            o0, o1 = self._fn_c(wre[0], wre[1], wim[0], wim[1], kd, pp)
         ids, scale = self._out_meta
         return ckks.CkksCt(
             rns.RnsPoly(o0, rns.NTT, ids), rns.RnsPoly(o1, rns.NTT, ids),

@@ -255,6 +255,38 @@ def test_compiled_bootstrapper_matches_eager():
     assert abs(out.scaling_factor - ref.scaling_factor) < 1e-6
 
 
+def test_compiled_split_matches_monolithic():
+    """split=True (three independently jitted/cached stage programs) must
+    be BITWISE equal to the monolithic compiled refresh — it is the same
+    trace cut at the stage boundaries."""
+    params = bs.make_boot_params(N, num_levels=16, two_limb_scale=False)
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rot_keys = {st: keys_mod.rot_key(ctx, sk, st, jax.random.key(100 + st))
+                for st in bs.bootstrap_rotation_steps(params)}
+    ck = keys_mod.conj_key(ctx, sk, jax.random.key(5))
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-1, 1, N // 2)
+    pt = ckks.encode(v, params, scaling_factor=2.0**22,
+                     level=len(params.moduli) - 1)
+    ct = ckks.encrypt(ctx, pt, sk, jax.random.key(7))
+    mk = lambda: bs.Bootstrapper(ctx, params, rlk, rot_keys, ck, k_bound=5,
+                                 degree=31)
+    ref = bs.CompiledBootstrapper(mk(), ct)(ct)
+    sp = bs.CompiledBootstrapper(mk(), ct, split=True)
+    assert len(sp.stage_fns()) == 4
+    # both EvalMod halves share one program (same level/scale signature)
+    assert sp.stage_fns()[1][1] is sp.stage_fns()[2][1]
+    out = sp(ct)
+    np.testing.assert_array_equal(np.asarray(out.c0.data),
+                                  np.asarray(ref.c0.data))
+    np.testing.assert_array_equal(np.asarray(out.c1.data),
+                                  np.asarray(ref.c1.data))
+    assert out.c0.limb_ids == ref.c0.limb_ids
+    assert abs(out.scaling_factor - ref.scaling_factor) < 1e-6
+
+
 def test_factored_chain_identities():
     """Butterfly factorization invariants: V = ∏M·P equals C1; the four
     chain products reproduce E/F/G/H/C1/C2 semantics (bit-reversed
