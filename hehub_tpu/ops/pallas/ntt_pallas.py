@@ -102,7 +102,14 @@ def _full_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
     head_full [L, s_head, n]      — flat in natural [G, B] order
     tail_full [L, s_tail, B, G]   — host-shaped 2-D per stage (transposed
                                     layout), so the kernel NEVER reshapes a
-                                    flat row to a small minor axis."""
+                                    flat row to a small minor axis.
+
+    Forward tables put the twiddle at HI positions only (LO entries zero;
+    the forward reads wh at hi positions exclusively). Inverse tables put
+    the stage twiddle at BOTH positions of each pair: the inverse kernel
+    distributes the GS butterfly (lo-hi)*w = lo*w - hi*w, multiplying the
+    whole tile by w BEFORE the rolls — same op count as the forward and
+    the Shoup multiply off the roll-dependent critical path."""
     n = ctx.params.dimension
     logn = n.bit_length() - 1
     G = n // B
@@ -124,6 +131,9 @@ def _full_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
             fs = head_full_sh[:, hrow].reshape(L, blocks, 2, t)
             f[:, :, 1] = head[:, row].reshape(L, blocks, t)
             fs[:, :, 1] = head_sh[:, row].reshape(L, blocks, t)
+            if inverse:  # distributed GS: w at lo positions too
+                f[:, :, 0] = f[:, :, 1]
+                fs[:, :, 0] = fs[:, :, 1]
         else:  # tail: transposed [B, G] layout, hi rows of each p-block
             row = s if inverse else s - s_head
             U = B // (2 * t)
@@ -133,6 +143,9 @@ def _full_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
             fs = tail_full_sh[:, row].reshape(L, U, 2, t, G)
             f[:, :, 1] = tl
             fs[:, :, 1] = tls
+            if inverse:
+                f[:, :, 0] = tl
+                fs[:, :, 0] = tls
     for a in (head_full, head_full_sh, tail_full, tail_full_sh):
         a.setflags(write=False)
     return head_full, head_full_sh, tail_full, tail_full_sh
@@ -195,6 +208,11 @@ def _fwd_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_
 
 
 def _inv_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_ref):
+    """Distributed-GS inverse: each stage computes m = x*w over the whole
+    tile FIRST (the inverse tables carry w at both pair positions), then
+    hi' = m[lo] - m[hi] via one roll of m — the Shoup multiply never waits
+    on a roll, mirroring the forward kernel's structure. Lazy values differ
+    from ops/ntt.py's (lo - hi)*w representatives (equal mod q)."""
     from jax.experimental.pallas import tpu as pltpu
 
     logn = n.bit_length() - 1
@@ -212,11 +230,12 @@ def _inv_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_
         t = 1 << s
         w = tt_ref[0, s]
         w_sh = tt_sh_ref[0, s]
+        m = ma.shoup_mul_lazy(x, w, w_sh, q)
+        up_m = pltpu.roll(m, t, 1)      # m[p-t]
         down = pltpu.roll(x, B - t, 1)  # x[p+t]
-        up = pltpu.roll(x, t, 1)        # x[p-t]
         is_hi = ((p_ids >> s) & 1) == 1
         lo_out = ma.add_lazy(x, down, two_q)
-        hi_out = ma.shoup_mul_lazy(up + two_q - x, w, w_sh, q)
+        hi_out = ma.sub_lazy(up_m, m, two_q)
         x = jnp.where(is_hi, hi_out, lo_out)
     x = jnp.swapaxes(x, -1, -2)  # [bb, G, B]
     g_ids = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
@@ -224,14 +243,15 @@ def _inv_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_
         tg = 1 << (s - logb)
         w = th_ref[0, s - s_tail].reshape(G, B)
         w_sh = th_sh_ref[0, s - s_tail].reshape(G, B)
-        down = pltpu.roll(x, G - tg, 1)
-        up = pltpu.roll(x, tg, 1)
+        m = ma.shoup_mul_lazy(x, w, w_sh, q)
+        up_m = pltpu.roll(m, tg, 1)      # m[g-tg]
+        down = pltpu.roll(x, G - tg, 1)  # x[g+tg]
         is_hi = ((g_ids >> (s - logb)) & 1) == 1
         if s == logn - 1:
             lo_out = ma.shoup_mul_lazy(x + down, n_inv, n_inv_sh, q)
         else:
             lo_out = ma.add_lazy(x, down, two_q)
-        hi_out = ma.shoup_mul_lazy(up + two_q - x, w, w_sh, q)
+        hi_out = ma.sub_lazy(up_m, m, two_q)
         x = jnp.where(is_hi, hi_out, lo_out)
     o_ref[0] = x.reshape(bb, n)
 
