@@ -156,11 +156,18 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63, split=None):
     minutes through the remote compile helper. BENCH_BOOT_SPLIT=0 times
     the monolithic single-program refresh instead. The keys are derived
     from fixed PRNG seeds so the traced programs are byte-identical across
-    processes (a cache-hit requirement)."""
+    processes (a cache-hit requirement).
+
+    AOT artifact: the first successful split-mode run exports the four
+    stage programs + keys + plans to .boot_cache/ (boot_artifact.py);
+    later runs load them and skip the three circuit tracings (~13 min of
+    single-core Python at n=4096), going straight to compile-from-cache +
+    execute. The correctness check still runs end-to-end every time."""
     import jax
 
     _enable_compile_cache()
 
+    from hehub_tpu.circuits import boot_artifact
     from hehub_tpu.circuits import bootstrap as bs
     from hehub_tpu.core.context import make_context
     from hehub_tpu.models import ckks
@@ -168,9 +175,36 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63, split=None):
     from hehub_tpu.rlwe import rlwe as rlwe_mod
     from hehub_tpu.utils import profiling
 
-    params = bs.make_boot_params(n, num_levels=num_levels, num_special=2)
+    if split is None:
+        split = os.environ.get("BENCH_BOOT_SPLIT", "1") == "1"
+    art_path = os.path.join(
+        _REPO, ".boot_cache", f"boot_n{n}_L{num_levels}_d{degree}_s3.pkl"
+    )
+
+    # THREE special primes (P ≈ 2^90): the r4 zero-noise diagnosis showed
+    # the refresh error was key-switch noise — C2S rotation noise ~2e-5
+    # amplified by S2C's operator norm sqrt(n/2) and the q0/Δ_in
+    # reinterpretation to 2e-2. P 2^60 → 2^90 crushes it to the ~1e-5
+    # quantization floor.
+    params = bs.make_boot_params(n, num_levels=num_levels, num_special=3)
     ctx = make_context(params)
     sk = rlwe_mod.keygen(ctx, jax.random.key(0), hamming_weight=8)
+
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-1, 1, n // 2)
+    d_in = 2.0**26
+
+    if split and os.path.exists(art_path) \
+            and os.environ.get("BENCH_BOOT_ARTIFACT", "1") == "1":
+        t0 = time.perf_counter()
+        refresh = boot_artifact.load(art_path)
+        _err(f"[bench] bootstrap artifact loaded in "
+             f"{time.perf_counter()-t0:.1f}s ({art_path})")
+        pt = ckks.encode(v, params, scaling_factor=d_in,
+                         level=len(params.moduli) - 1)
+        ct = ckks.encrypt(ctx, pt, sk, jax.random.key(7))
+        return _time_boot_stages(refresh, ct, ctx, params, sk, v)
+
     rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
     # factored (radix) C2S/S2C at production dims: fewer rotation keys (52
     # vs 94 at n=4096) and ~100x less plan storage than dense BSGS, at 2
@@ -184,9 +218,6 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63, split=None):
     ck = keys_mod.conj_key(ctx, sk, jax.random.key(5))
     _err(f"[bench] bootstrap keygen: {len(rot_keys)} rotation keys in "
          f"{time.perf_counter()-t0:.1f}s")
-    rng = np.random.default_rng(3)
-    v = rng.uniform(-1, 1, n // 2)
-    d_in = 2.0**26
     pt = ckks.encode(v, params, scaling_factor=d_in,
                      level=len(params.moduli) - 1)
     ct = ckks.encrypt(ctx, pt, sk, jax.random.key(7))
@@ -197,28 +228,52 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63, split=None):
     # The refresh is jitted with keys and plan plaintexts as jit
     # PARAMETERS — baked constants would put hundreds of MB into the
     # serialized HLO, which the remote-compile endpoint rejects (HTTP 413).
-    if split is None:
-        split = os.environ.get("BENCH_BOOT_SPLIT", "1") == "1"
     t0 = time.perf_counter()
     refresh = bs.CompiledBootstrapper(booter, ct, split=split)
     _err(f"[bench] bootstrap plan discovery+materialize: "
-         f"{time.perf_counter()-t0:.1f}s (split={split})")
+         f"{time.perf_counter()-t0:.1f}s (split={split}; "
+         + ", ".join(f"{k}={v:.1f}s" for k, v in refresh.timings.items())
+         + ")")
     t0 = time.perf_counter()
     out_ct = refresh(ct)
     jax.block_until_ready(out_ct.c0.data)
     _err(f"[bench] bootstrap trace+compile+run: {time.perf_counter()-t0:.1f}s")
+    if split and os.environ.get("BENCH_BOOT_ARTIFACT", "1") == "1":
+        from hehub_tpu.circuits import boot_artifact
+
+        os.makedirs(os.path.dirname(art_path), exist_ok=True)
+        t0 = time.perf_counter()
+        boot_artifact.save(refresh, art_path)
+        _err(f"[bench] bootstrap artifact saved+primed in "
+             f"{time.perf_counter()-t0:.1f}s ({art_path})")
+    if not split:
+        got = np.real(ckks.decode(ckks.decrypt(ctx, out_ct, sk), params))
+        err = float(np.abs(got - v).max())
+        _err(f"[bench] bootstrap correctness: max err {err:.3e}")
+        t = profiling.device_time(
+            refresh._fn,
+            (ct.c0.data, ct.c1.data, refresh._key_data, refresh._plan_pts),
+            iters=2, name="refresh",
+        )
+        return t * 1e3, err
+    return _time_boot_stages(refresh, ct, ctx, params, sk, v)
+
+
+def _time_boot_stages(refresh, ct, ctx, params, sk, v):
+    """Correctness check + per-stage device timing of a split-mode refresh
+    (CompiledBootstrapper or boot_artifact.LoadedBootstrapper). The stages
+    are sequentially dependent, so ms/refresh = the sum."""
+    import jax
+
+    from hehub_tpu.models import ckks
+    from hehub_tpu.utils import profiling
+
+    out_ct = refresh(ct)
+    jax.block_until_ready(out_ct.c0.data)
     got = np.real(ckks.decode(ckks.decrypt(ctx, out_ct, sk), params))
     err = float(np.abs(got - v).max())
     _err(f"[bench] bootstrap correctness: max err {err:.3e}")
     kd, pp = refresh._key_data, refresh._plan_pts
-    if not split:
-        t = profiling.device_time(
-            refresh._fn, (ct.c0.data, ct.c1.data, kd, pp),
-            iters=2, name="refresh",
-        )
-        return t * 1e3, err
-    # split: time each stage (its own compiled program) and sum — the
-    # stages are sequentially dependent, so the refresh = the sum
     fa, fb_re, fb_im, fc = (f for _, f in refresh.stage_fns())
     a = fa(ct.c0.data, ct.c1.data, kd, pp)
     wre = fb_re(a[0], a[1], kd, pp)
@@ -230,8 +285,10 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63, split=None):
         ("evalmod_im", fb_im, (a[2], a[3], kd, pp)),
         ("s2c", fc, (wre[0], wre[1], wim[0], wim[1], kd, pp)),
     ):
-        # name=None -> filter by the jitted fn's own name (jit__stage_a...)
-        ts = profiling.device_time(fn, args, iters=2)
+        # name="": match every jit event — each stage is its own jitted
+        # program and runs ALONE during its trace window, and the artifact
+        # path's deserialized callables carry unhelpful __name__s
+        ts = profiling.device_time(fn, args, iters=2, name="")
         _err(f"[bench] bootstrap stage {name}: {ts*1e3:.2f} ms")
         total += ts
     return total * 1e3, err

@@ -1164,13 +1164,18 @@ class CompiledBootstrapper:
 
     def __init__(self, booter: Bootstrapper, example_ct: ckks.CkksCt,
                  split: bool = False):
+        import time as _time
+
         import jax
         import jax.numpy as jnp
 
+        _t0 = _time.perf_counter()
+        self.timings: Dict[str, float] = {}
         self.b = booter
         self.split = bool(split)
         self.ids_in = example_ct.c0.limb_ids
         self.scale_in = float(example_ct.scaling_factor)
+        self._batch_shape = example_ct.c0.data.shape[:-2]
         self._out_meta = None
         self._meta: Dict = {}
         b = booter
@@ -1185,15 +1190,45 @@ class CompiledBootstrapper:
         )
         ct_shape = jax.ShapeDtypeStruct(example_ct.c0.data.shape, jnp.uint32)
 
-        # 1. discovery (abstract: no FFTs, no device work)
+        # 1. discovery (abstract: no FFTs, no device work). In split mode
+        # the single discovery pass is CHAINED through the three stages, so
+        # it records the plan signatures AND the inter-stage
+        # (limb_ids, scaling_factor) metadata in one tracing — the separate
+        # stage eval_shape pass used to re-trace the whole circuit (~200 s
+        # of single-core Python at n=4096) for metadata discovery alone.
         b._discover = True
         try:
-            jax.eval_shape(
-                lambda c0, c1, kd: self._refresh(c0, c1, kd, None),
-                ct_shape, ct_shape, key_shapes,
-            )
+            if not self.split:
+                jax.eval_shape(
+                    lambda c0, c1, kd: self._refresh(c0, c1, kd, None),
+                    ct_shape, ct_shape, key_shapes,
+                )
+            else:
+                a_sh = jax.eval_shape(
+                    lambda c0, c1, kd: self._stage_a(c0, c1, kd, None),
+                    ct_shape, ct_shape, key_shapes,
+                )
+                (re_key, im_key) = self._meta["a"]
+                self._fn_b = {}
+                b_sh = {}
+                for kk, (i0, i1) in ((re_key, (0, 1)), (im_key, (2, 3))):
+                    if kk not in self._fn_b:
+                        f = self._make_stage_b(*kk)
+                        b_sh[kk] = jax.eval_shape(
+                            lambda c0, c1, kd, _f=f: _f(c0, c1, kd, None),
+                            a_sh[i0], a_sh[i1], key_shapes,
+                        )
+                        self._fn_b[kk] = jax.jit(f)
+                wre, wim = b_sh[re_key], b_sh[im_key]
+                jax.eval_shape(
+                    lambda r0, r1, s0, s1, kd: self._stage_c(
+                        r0, r1, s0, s1, kd, None),
+                    wre[0], wre[1], wim[0], wim[1], key_shapes,
+                )
         finally:
             b._discover = False
+        self.timings["discovery"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # 2. materialize every discovered plan on device
         self._plan_order = sorted(b._plans.keys())
@@ -1203,41 +1238,12 @@ class CompiledBootstrapper:
             {gb: p.data for gb, p in b._plans[k].pts.items()}
             for k in self._plan_order
         ]
+        self.timings["materialize"] = _time.perf_counter() - _t0
 
         # 3. jit with keys/plans as parameters
         if not self.split:
             self._fn = jax.jit(self._refresh)
             return
-
-        # split: chain eval_shape through the three stages to record the
-        # inter-stage (limb_ids, scaling_factor) metadata — host values
-        # produced while tracing — then jit each stage independently.
-        plan_shapes = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self._plan_pts
-        )
-        a_sh = jax.eval_shape(self._stage_a, ct_shape, ct_shape,
-                              key_shapes, plan_shapes)
-        (re_key, im_key) = self._meta["a"]
-        self._fn_b = {}
-        for kk, (i0, i1) in ((re_key, (0, 1)), (im_key, (2, 3))):
-            if kk not in self._fn_b:
-                f = self._make_stage_b(*kk)
-                jax.eval_shape(f, a_sh[i0], a_sh[i1], key_shapes,
-                               plan_shapes)
-                self._fn_b[kk] = jax.jit(f)
-        wre_ids, wre_scale = self._meta[("b",) + re_key]
-        wim_ids, wim_scale = self._meta[("b",) + im_key]
-        n = self.b.params.dimension
-        L = len(wre_ids)
-        w_sh = jax.ShapeDtypeStruct(
-            (*example_ct.c0.data.shape[:-2], L, n), jnp.uint32
-        )
-        Lim = len(wim_ids)
-        w_sh_im = jax.ShapeDtypeStruct(
-            (*example_ct.c0.data.shape[:-2], Lim, n), jnp.uint32
-        )
-        jax.eval_shape(self._stage_c, w_sh, w_sh, w_sh_im, w_sh_im,
-                       key_shapes, plan_shapes)
         self._fn_a = jax.jit(self._stage_a)
         self._fn_c = jax.jit(self._stage_c)
 
