@@ -9,6 +9,15 @@ Variants (perf-only; some are mathematically WRONG on purpose):
   inv_classic - late-multiply classic GS (mul after roll+sub)
   inv_headfirst - WRONG MATH: head stages first then tail, mimicking the
                   forward kernel's phase order, to test transpose placement
+  inv_mix_ct  - classic GS tail + distributed head
+  inv_mix_ch  - distributed tail + classic GS head
+  inv_pre_t   - XLA transposes the input to [B, G] BEFORE the kernel, so
+                the kernel starts on compute (no swap-at-load); transpose
+                back mid-kernel as usual. Measures whether the initial
+                in-kernel transpose is the 0.6 us.
+  inv_lane    - ZERO transposes: tail stages run in natural [G, B] layout
+                with rolls along the LANE axis (tables transposed on host).
+  fwd_lane    - same trick for the forward kernel.
 """
 
 import functools
@@ -44,7 +53,7 @@ def _inv_variant_kernel(variant, n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref,
         w = tt_ref[0, s]
         w_sh = tt_sh_ref[0, s]
         is_hi = ((p_ids >> s) & 1) == 1
-        if variant == "inv_classic":
+        if variant in ("inv_classic", "inv_mix_ct"):
             up_x = pltpu.roll(x, t, 1)
             down = pltpu.roll(x, B - t, 1)
             lo_out = ma.add_lazy(x, down, two_q)
@@ -62,7 +71,7 @@ def _inv_variant_kernel(variant, n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref,
         w = th_ref[0, s - s_tail].reshape(G, B)
         w_sh = th_sh_ref[0, s - s_tail].reshape(G, B)
         is_hi = ((g_ids >> (s - logb)) & 1) == 1
-        if variant == "inv_classic":
+        if variant in ("inv_classic", "inv_mix_ch", "inv_lane_classic"):
             up_x = pltpu.roll(x, tg, 1)
             down = pltpu.roll(x, G - tg, 1)
             if scale_last:
@@ -81,8 +90,79 @@ def _inv_variant_kernel(variant, n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref,
             hi_out = ma.sub_lazy(up_m, m, two_q)
         return jnp.where(is_hi, hi_out, lo_out)
 
-    x = x_ref[0].reshape(bb, G, B)
     noscale = variant == "inv_noscale"
+    if variant in ("inv_lane", "inv_lane_classic", "fwd_lane"):
+        # tables arrive transposed to natural [G, B]; rolls along LANES
+        x = x_ref[0].reshape(bb, G, B)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, B), 2)
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
+
+        def tail_lane(x, s):
+            t = 1 << s
+            w = tt_ref[0, s]
+            w_sh = tt_sh_ref[0, s]
+            is_hi = ((lane_ids >> s) & 1) == 1
+            if variant == "inv_lane_classic":
+                up_x = pltpu.roll(x, t, 2)
+                down = pltpu.roll(x, B - t, 2)
+                lo_out = ma.add_lazy(x, down, two_q)
+                hi_out = ma.shoup_mul_lazy(up_x + two_q - x, w, w_sh, q)
+            else:
+                m = ma.shoup_mul_lazy(x, w, w_sh, q)
+                up_m = pltpu.roll(m, t, 2)
+                down = pltpu.roll(x, B - t, 2)
+                lo_out = ma.add_lazy(x, down, two_q)
+                hi_out = ma.sub_lazy(up_m, m, two_q)
+            return jnp.where(is_hi, hi_out, lo_out)
+
+        if variant in ("inv_lane", "inv_lane_classic"):
+            for s in range(s_tail):
+                x = tail_lane(x, s)
+            for s in range(s_tail, logn):
+                x = head_stage(x, s, g_ids, scale_last=(s == logn - 1))
+        else:  # fwd_lane: forward math, head first then lane-roll tail
+            for s in range(logn - s_tail):
+                t = n >> (s + 1)
+                tg = t >> (B.bit_length() - 1)
+                sbit = tg.bit_length() - 1
+                w = th_ref[0, s].reshape(G, B)
+                w_sh = th_sh_ref[0, s].reshape(G, B)
+                wh = ma.shoup_mul_lazy(x, w, w_sh, q)
+                down_wh = pltpu.roll(wh, G - tg, 1)
+                up_x = pltpu.roll(x, tg, 1)
+                is_hi = ((g_ids >> sbit) & 1) == 1
+                lo_out = ma.add_lazy(x, down_wh, two_q)
+                hi_out = ma.sub_lazy(up_x, wh, two_q)
+                x = jnp.where(is_hi, hi_out, lo_out)
+            for si in range(s_tail):
+                s = (logn - s_tail) + si
+                t = n >> (s + 1)
+                sbit = t.bit_length() - 1
+                w = tt_ref[0, si]
+                w_sh = tt_sh_ref[0, si]
+                wh = ma.shoup_mul_lazy(x, w, w_sh, q)
+                down_wh = pltpu.roll(wh, B - t, 2)
+                up_x = pltpu.roll(x, t, 2)
+                is_hi = ((lane_ids >> sbit) & 1) == 1
+                lo_out = ma.add_lazy(x, down_wh, two_q)
+                hi_out = ma.sub_lazy(up_x, wh, two_q)
+                x = jnp.where(is_hi, hi_out, lo_out)
+        o_ref[0] = x.reshape(bb, n)
+        return
+    if variant == "inv_pre_t":
+        # input arrives ALREADY transposed ([bb, B, G] flat): start on
+        # compute, one in-kernel transpose (mid), natural-layout store
+        x = x_ref[0].reshape(bb, B, G)
+        p_ids = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
+        for s in range(s_tail):
+            x = tail_stage(x, s, p_ids)
+        x = jnp.swapaxes(x, -1, -2)
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
+        for s in range(s_tail, logn):
+            x = head_stage(x, s, g_ids, scale_last=(s == logn - 1))
+        o_ref[0] = x.reshape(bb, n)
+        return
+    x = x_ref[0].reshape(bb, G, B)
     if variant == "inv_headfirst":
         # WRONG MATH: head stages in natural layout FIRST (forward's phase
         # order), then transpose for the tail — perf probe only.
@@ -117,7 +197,12 @@ def make_variant(ctx, ids, variant):
     G = n // B
     s_tail = nk._n_tail(n)
     s_head = logn - s_tail
-    th, th_sh, tt, tt_sh = nk._full_tables(ctx, ids, inverse=True)
+    th, th_sh, tt, tt_sh = nk._full_tables(
+        ctx, ids, inverse=(variant != "fwd_lane"))
+    if variant in ("inv_lane", "inv_lane_classic", "fwd_lane"):
+        tt = np.ascontiguousarray(np.swapaxes(tt, -1, -2))
+        tt_sh = np.ascontiguousarray(np.swapaxes(tt_sh, -1, -2))
+    tt_shape = tt.shape[1:]
     scal = np.zeros((L, 1, 8), np.uint32)
     scal[:, 0, 0] = ctx.rows("q", ids)[:, 0]
     scal[:, 0, 1] = ctx.rows("two_q", ids)[:, 0]
@@ -129,6 +214,9 @@ def make_variant(ctx, ids, variant):
         x = data.reshape(-1, L, n)
         x = jnp.swapaxes(x, 0, 1)
         Rb = x.shape[1]
+        if variant == "inv_pre_t":
+            x = jnp.swapaxes(x.reshape(L, Rb, G, B), -1, -2)
+            x = x.reshape(L, Rb, n)
         bb = min(8, Rb)
         body = functools.partial(_inv_variant_kernel, variant, n, bb)
         out = pl.pallas_call(
@@ -137,8 +225,8 @@ def make_variant(ctx, ids, variant):
             in_specs=[
                 pl.BlockSpec((1, s_head, n), lambda l, r: (l, 0, 0)),
                 pl.BlockSpec((1, s_head, n), lambda l, r: (l, 0, 0)),
-                pl.BlockSpec((1, s_tail, B, G), lambda l, r: (l, 0, 0, 0)),
-                pl.BlockSpec((1, s_tail, B, G), lambda l, r: (l, 0, 0, 0)),
+                pl.BlockSpec((1, *tt_shape), lambda l, r: (l, 0, 0, 0)),
+                pl.BlockSpec((1, *tt_shape), lambda l, r: (l, 0, 0, 0)),
                 pl.BlockSpec((1, 1, 8), lambda l, r: (l, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, bb, n), lambda l, r: (l, r, 0)),
@@ -177,11 +265,13 @@ def main():
     results["inv"] = t
 
     ref_inv = np.asarray(inv(data))
-    for variant in ("inv_noscale", "inv_classic", "inv_headfirst"):
+    ref_fwd = np.asarray(fwd(data))
+    for variant in ("inv_lane_classic",):
+        ref = ref_fwd if variant.startswith("fwd") else ref_inv
         try:
             f = jax.jit(make_variant(ctx, ids, variant))
             out = np.asarray(f(data))
-            ok = np.array_equal(out % qs, ref_inv % qs)
+            ok = np.array_equal(out % qs, ref % qs)
             t = profiling.device_time(f, (data,), iters=8, name="")
             results[variant] = t
             print(f"{variant:14s}: {t*1e6/k:6.2f} us/tf  correct={ok}",

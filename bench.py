@@ -88,12 +88,16 @@ def bench_ntt(ctx, params, batch, ids):
 
 
 def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
-    """encode+encrypt and decrypt+decode timings with the device-side
-    pipeline: host does the float64 FFT + digit split / digit evaluation +
-    slot FFT; the residue decomposition, NTTs, and Garner mixed-radix run on
-    device (one fused jit each way)."""
+    """encode+encrypt and decrypt+decode timings.
+
+    df64 codec path (default on TPU): the slot FFT runs ON DEVICE in
+    double-float32 (ops/df64.py) fused with the residue decomposition,
+    encrypt NTTs / Garner digits — the host does only the complex128 <->
+    f32-pair splits. Fallback (HEHUB_DF64=0 semantics via config): host
+    float64 FFT + digit split, device decomposition."""
     import jax
 
+    from hehub_tpu import config as hcfg
     from hehub_tpu.core import basecnv, rns
     from hehub_tpu.models import ckks
     from hehub_tpu.rlwe import rlwe as rlwe_mod
@@ -102,6 +106,67 @@ def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
     scale0 = params.initial_scaling_factor
     mods = ctx.moduli_of(ids)
     K = ckks.decode_limb_count(scale0, ids, mods)
+
+    if hcfg.df64_codec_enabled() and scale0 <= 2.0**40 and K <= 3:
+        from hehub_tpu.ops import df64
+
+        half = n // 2
+        enc_core = ckks._encode_device_jit(ctx, ids)
+        dec_core = ckks._decode_device_jit(ctx, ids, K, half, K < len(ids))
+
+        @jax.jit
+        def encrypt_dev(s4, sh, sl, key):
+            resid = enc_core(s4, sh, sl)
+            pt_poly = rns.RnsPoly(resid, rns.COEFF, ids)
+            ct = rlwe_mod.encrypt_core(ctx, pt_poly, sk, key)
+            return ct.c0.data, ct.c1.data
+
+        @jax.jit
+        def decrypt_dev(c0d, c1d, ih, il):
+            c = rlwe_mod.RlweCt(
+                rns.RnsPoly(c0d, rns.NTT, ids), rns.RnsPoly(c1d, rns.NTT, ids)
+            )
+            poly = rlwe_mod.decrypt_core(ctx, c, sk)
+            return dec_core(poly.data, ih, il)
+
+        data = np.atleast_1d(vec.astype(np.complex128))
+        if data.shape[-1] < half:
+            padded = np.zeros((*data.shape[:-1], half), np.complex128)
+            padded[..., : data.shape[-1]] = data
+            data = padded
+        sh, sl = df64.from_f64(float(scale0))
+        ih, il = df64.from_f64(1.0 / float(scale0))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s4 = df64.cfrom_c128(data)
+        t_enc_host = (time.perf_counter() - t0) / iters
+        t_enc_dev = _timeit(encrypt_dev, (s4, sh, sl, enc_key), iters=iters)
+        c0, c1 = encrypt_dev(s4, sh, sl, enc_key)
+        t_dec_dev = _timeit(decrypt_dev, (c0, c1, ih, il), iters=iters)
+        rh, rl, ii_h, ii_l, flag = decrypt_dev(c0, c1, ih, il)
+        assert not bool(flag), "df64 decode sentinel fired in bench"
+        # D2H excluded (as in the host-path timing below): the tunnel's
+        # ~24 ms RPC fetch latency is not a pipeline cost
+        planes = tuple(
+            np.asarray(p) for p in (rh, rl, ii_h, ii_l)
+        )
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = df64.cto_c128(*planes)
+        t_dec_host = (time.perf_counter() - t0) / iters
+        assert np.allclose(np.real(out[: len(vec)]), vec, atol=2**-12), \
+            "df64 round trip failed"
+        t_ee = t_enc_host + t_enc_dev
+        t_dd = t_dec_host + t_dec_dev
+        enc_parts = (
+            f"enc host {t_enc_host*1e3:.2f} + dev {t_enc_dev*1e3:.2f} ms"
+            f" [df64 on-device FFT]"
+        )
+        dec_parts = (
+            f"dec dev {t_dec_dev*1e3:.2f} + host {t_dec_host*1e3:.2f} ms"
+            f" [df64 on-device FFT]"
+        )
+        return t_ee, t_dd, enc_parts, dec_parts
 
     @jax.jit
     def encrypt_dev(digits, neg, key):

@@ -245,6 +245,39 @@ def decompose_digits(ctx: Context, digits, neg, ids: Tuple[int, ...]) -> RnsPoly
     return RnsPoly(r.astype(jnp.uint32), COEFF, ids)
 
 
+def decompose_balanced(ctx: Context, digits, ids: Tuple[int, ...]) -> RnsPoly:
+    """Device residue decomposition of BALANCED base-2^22 digits: residues
+    r_j = (d0 + d1·2^22 + d2·2^44) mod q_j with each d_i a signed int32 in
+    (-2^22, 2^22) — the natural output of the df64 on-device digit
+    extraction (ops/df64.py), where remainders round to balanced digits.
+
+    Bias trick: with C = 2^22, Σ (d_i + C)·2^{22i} = value + OFF where
+    OFF = C·(1 + 2^22 + 2^44); each biased digit is in [1, 2^23) (a valid
+    lazy input) and the constant OFF folds into one per-limb subtraction.
+
+    digits: int32 [..., 3, n]. Same output contract as decompose_digits."""
+    mods = ctx.moduli_of(ids)
+    q = ctx.rows("q", ids)
+    two_q = ctx.rows("two_q", ids)
+    C = 1 << DIGIT_BITS
+    biased = (digits + jnp.int32(C)).astype(jnp.uint32)
+    r = biased[..., 0, None, :]  # [..., 1, n] < 2^23
+    off = C * (1 + (1 << DIGIT_BITS) + (1 << (2 * DIGIT_BITS)))
+    for i in range(1, NUM_DIGITS):
+        c = [(1 << (DIGIT_BITS * i)) % m for m in mods]
+        w, w_sh = hm.shoup_pair_arrays(c, mods)
+        term = ma.shoup_mul_lazy(
+            biased[..., i, None, :], w[:, None], w_sh[:, None], q
+        )
+        r = ma.add_lazy(r, term, two_q)
+    # subtract OFF mod q_j: add its negation as a strict per-limb constant
+    neg_off = np.asarray(
+        [(-off) % int(m) for m in mods], np.uint32
+    )[:, None]
+    r = ma.add_lazy(r, neg_off, two_q)
+    return RnsPoly(r.astype(jnp.uint32), COEFF, ids)
+
+
 def div_last_rounded_pair(
     ctx: Context,
     a: RnsPoly,

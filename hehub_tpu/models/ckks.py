@@ -221,6 +221,144 @@ def _decode_host(coeffs: np.ndarray, n: int, scale: float, count: int):
 decompose_digits = basecnv.decompose_digits
 
 
+# ---------------------------------------------------------------------------
+# df64 ON-DEVICE encode/decode (ops/df64.py) — the host pipeline above is
+# the float64 fallback for out-of-range magnitudes / non-TPU backends
+# ---------------------------------------------------------------------------
+
+# precision gate: the df64 FFT carries ~48 mantissa bits, and the encode
+# digit extraction needs |coeff| = scale*max|z| to round consistently, so
+# coefficients are capped at 2^43 (headline scales pass; 2^48+ scales take
+# the host path). Decode is relative-error only; its gate is the f32
+# overflow bound of the Garner weights (K <= 3 limbs, ∏q <= 2^90).
+_DF64_COEFF_BOUND = 2.0**43
+
+
+@functools.lru_cache(maxsize=None)
+def _df64_enc_tables(n: int):
+    from hehub_tpu.ops import df64
+
+    half = n // 2
+    invj, _, tw_enc, _ = _half_transform_tables(n)
+    perm = invj[df64.bitrev_perm(half)]  # slot order -> DIT input order
+    sign = np.where(perm % 2 == 1, -1.0, 1.0).astype(np.float32)
+    return perm, sign, df64.cfrom_c128(tw_enc)
+
+
+@functools.lru_cache(maxsize=None)
+def _df64_dec_tables(n: int, count: int):
+    from hehub_tpu.ops import df64
+
+    half = n // 2
+    _, j, _, tw_dec = _half_transform_tables(n)
+    br = df64.bitrev_perm(half)
+    # ifft(x) = conj(fft(conj(x)))/m: fold conj + 1/m into the twist table,
+    # pre-permuted to the FFT's bit-reversed input order
+    t_br = df64.cfrom_c128(np.conjugate(tw_dec)[br] / half)
+    out_g = j[:count]
+    # output = conj(fft result) with odd slots re-conjugated: the imag part
+    # flips sign at even slot indices only
+    odd_sign = np.where(np.arange(count) % 2 == 1, 1.0, -1.0).astype(
+        np.float32
+    )
+    return br, t_br, out_g, odd_sign
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_device_jit(ctx: Context, ids: Tuple[int, ...]):
+    """slots (4 f32 planes, [..., n/2]) + df64 scale -> residue data
+    [..., L, n]: gather/conj, df64 FFT, twist*scale, balanced digit
+    extraction, residue decomposition — ONE fused device program replacing
+    the host FFT+digitize of _encode_host."""
+    from hehub_tpu.ops import df64
+
+    n = ctx.params.dimension
+    half = n // 2
+    perm, sign, tw = _df64_enc_tables(n)
+    perm_j = jnp.asarray(perm)
+    sign_j = jnp.asarray(sign)
+    tw_j = tuple(jnp.asarray(t) for t in tw)
+
+    def f(s4, scale_hi, scale_lo):
+        x4 = tuple(p[..., perm_j] for p in s4)
+        x4 = (x4[0], x4[1], x4[2] * sign_j, x4[3] * sign_j)
+        u = df64.fft(x4, half)
+        u = df64.cmul(u, tw_j)
+        sc = (scale_hi, scale_lo)
+        re = df64.mul_dd((u[0], u[1]), sc)
+        im = df64.mul_dd((u[2], u[3]), sc)
+        vh = jnp.concatenate([re[0], im[0]], axis=-1)
+        vl = jnp.concatenate([re[1], im[1]], axis=-1)
+        d0, d1, d2 = df64.balanced_digits(vh, vl)
+        digits = jnp.stack([d0, d1, d2], axis=-2)
+        return basecnv.decompose_balanced(ctx, digits, ids).data
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_device_jit(
+    ctx: Context, ids: Tuple[int, ...], k: int, count: int, probe: bool
+):
+    """Residue data -> (4 f32 slot planes [..., count], overflow flag):
+    device Garner digits, balanced carry pass, df64 value eval, inverse
+    FFT, slot gather — the device mirror of decode's host half. With
+    probe=True the k-th digit row is the overflow sentinel (decode
+    re-runs on the host over the full chain if it fires)."""
+    from hehub_tpu.ops import df64
+
+    n = ctx.params.dimension
+    half = n // 2
+    br, t_br, out_g, odd_sign = _df64_dec_tables(n, count)
+    br_j = jnp.asarray(br)
+    t_br_j = tuple(jnp.asarray(t) for t in t_br)
+    out_j = jnp.asarray(out_g)
+    odd_j = jnp.asarray(odd_sign)
+    mods = [int(m) for m in ctx.moduli_of(ids)]
+    kp = k + 1 if probe else k
+    ws = []
+    w = 1
+    for jx in range(k):
+        ws.append(tuple(jnp.asarray(p) for p in df64.from_f64(float(w))))
+        w *= mods[jx]
+
+    def f(data, inv_scale_hi, inv_scale_lo):
+        digs = basecnv.to_mixed_radix(ctx, data, ids, kp)
+        d = digs.astype(jnp.int32)
+        carry = jnp.zeros_like(d[..., 0, :])
+        vh = jnp.zeros(d.shape[:-2] + d.shape[-1:], jnp.float32)
+        vl = jnp.zeros_like(vh)
+        top = None
+        for jx in range(kp):
+            q = mods[jx]
+            dj = d[..., jx, :] + carry
+            c = (dj > q // 2).astype(jnp.int32)
+            bal = dj - c * q
+            carry = c
+            if jx == k:
+                top = bal
+            else:
+                term = df64.mul_dd(df64.from_int32(bal), ws[jx])
+                vh, vl = df64.add_dd((vh, vl), term)
+        sc = (inv_scale_hi, inv_scale_lo)
+        ur = df64.mul_dd((vh[..., :half], vl[..., :half]), sc)
+        ui = df64.mul_dd((vh[..., half:], vl[..., half:]), sc)
+        u4 = (
+            ur[0][..., br_j], ur[1][..., br_j],
+            -ui[0][..., br_j], -ui[1][..., br_j],
+        )
+        v = df64.fft(df64.cmul(u4, t_br_j), half)
+        rh, rl = v[0][..., out_j], v[1][..., out_j]
+        ih, il = v[2][..., out_j] * odd_j, v[3][..., out_j] * odd_j
+        flag = (
+            jnp.any(top != 0) if top is not None
+            else jnp.zeros((), jnp.bool_)
+        )
+        return rh, rl, ih, il, flag
+
+    return jax.jit(f)
+
+
 @functools.lru_cache(maxsize=None)
 def _decompose_jit(ctx: Context, ids: Tuple[int, ...]):
     return jax.jit(lambda d, s: decompose_digits(ctx, d, s, ids).data)
@@ -236,14 +374,32 @@ def encode(
     split, and the device decomposition all vectorize, yielding a batched
     plaintext [..., L, n]. Arbitrary coefficient magnitudes (< 2^62) are
     supported — scaling factors up to ~2^55 with slot values up to ~2^10."""
+    from hehub_tpu import config as _cfg
+
     ctx = make_context(params)
     n = params.dimension
     scale = scaling_factor or params.initial_scaling_factor
     data = np.atleast_1d(np.asarray(data, dtype=np.complex128))
     if data.shape[-1] > n // 2:
         raise ValueError(f"can encode at most {n//2} slots")
-    digits, neg = _encode_host(data, n, scale)
     ids = tuple(range(len(params.moduli) - level))
+    max_abs = float(np.abs(data).max(initial=0.0))
+    if (
+        _cfg.df64_codec_enabled()
+        and scale * max(max_abs, 1.0) <= _DF64_COEFF_BOUND
+    ):
+        from hehub_tpu.ops import df64
+
+        half = n // 2
+        if data.shape[-1] < half:
+            padded = np.zeros((*data.shape[:-1], half), np.complex128)
+            padded[..., : data.shape[-1]] = data
+            data = padded
+        s4 = df64.cfrom_c128(data)
+        sh, sl = df64.from_f64(float(scale))
+        resid = _encode_device_jit(ctx, ids)(s4, sh, sl)
+        return CkksPt(RnsPoly(resid, COEFF, ids), float(scale))
+    digits, neg = _encode_host(data, n, scale)
     resid = _decompose_jit(ctx, ids)(digits, neg)
     return CkksPt(RnsPoly(resid, COEFF, ids), float(scale))
 
@@ -325,6 +481,26 @@ def decode(
     # magnitude heuristic underestimated |z| and the K-limb value would
     # silently alias mod ∏q (ADVICE r2) — re-decode over the full chain.
     probe = limbs is None and K < len(mods)
+    from hehub_tpu import config as _cfg
+
+    # df64 device path: K <= 3 keeps the Garner weights inside the f32
+    # product range (∏q <= 2^90; the Dekker split's 4097x stays < 2^127)
+    if _cfg.df64_codec_enabled() and K <= 3:
+        from hehub_tpu.ops import df64
+
+        ih_, il_ = df64.from_f64(1.0 / pt.scaling_factor)
+        out = _decode_device_jit(ctx, poly.limb_ids, K, count, probe)(
+            poly.data, ih_, il_
+        )
+        rh, rl, ih, il, flag = (np.asarray(x) for x in out)
+        if not (probe and bool(flag)):
+            return df64.cto_c128(rh, rl, ih, il)
+        # sentinel fired: fall through to the host full-chain decode
+        digits = np.asarray(
+            _garner_jit(ctx, poly.limb_ids, len(mods))(poly.data)
+        )
+        coeffs = _mixed_radix_to_float(digits, mods)
+        return _decode_host(coeffs, n, pt.scaling_factor, count)
     if probe:
         digits = np.asarray(_garner_jit(ctx, poly.limb_ids, K + 1)(poly.data))
         coeffs, top = _mixed_radix_to_float(digits, mods[: K + 1],

@@ -107,8 +107,8 @@ def make_ext_prod_converted(ctx, D: int, ids_ext: Tuple[int, ...],
             in_specs=[
                 pl.BlockSpec((1, s_head, n), lambda j, r: (j, 0, 0)),
                 pl.BlockSpec((1, s_head, n), lambda j, r: (j, 0, 0)),
-                pl.BlockSpec((1, s_tail, ntp.B, G), lambda j, r: (j, 0, 0, 0)),
-                pl.BlockSpec((1, s_tail, ntp.B, G), lambda j, r: (j, 0, 0, 0)),
+                pl.BlockSpec((1, s_tail, G, ntp.B), lambda j, r: (j, 0, 0, 0)),
+                pl.BlockSpec((1, s_tail, G, ntp.B), lambda j, r: (j, 0, 0, 0)),
                 pl.BlockSpec((1, 1, 8), lambda j, r: (j, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, bb, D, n), lambda j, r: (j, r, 0, 0)),
@@ -168,8 +168,8 @@ def make_ext_prod(ctx, ids: Tuple[int, ...], ids_ext: Tuple[int, ...],
             in_specs=[
                 pl.BlockSpec((1, s_head, n), lambda j, r: (j, 0, 0)),
                 pl.BlockSpec((1, s_head, n), lambda j, r: (j, 0, 0)),
-                pl.BlockSpec((1, s_tail, ntp.B, G), lambda j, r: (j, 0, 0, 0)),
-                pl.BlockSpec((1, s_tail, ntp.B, G), lambda j, r: (j, 0, 0, 0)),
+                pl.BlockSpec((1, s_tail, G, ntp.B), lambda j, r: (j, 0, 0, 0)),
+                pl.BlockSpec((1, s_tail, G, ntp.B), lambda j, r: (j, 0, 0, 0)),
                 pl.BlockSpec((1, 1, 8), lambda j, r: (j, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((bb, l, n), lambda j, r: (r, 0, 0)),

@@ -7,18 +7,22 @@ butterflies on the VPU.
 
 Butterflies are expressed with `pltpu.roll` + masked selects instead of
 reshape/slice/concat: every stage reads the partner element via a cyclic
-sublane roll of the whole tile and blends lo/hi outputs with an iota mask.
+roll of the whole tile and blends lo/hi outputs with an iota mask.
 This does the twiddle multiply at every position (2x the arithmetic of the
 half-width formulation) but eliminates ALL per-stage relayouts, which
 dominate on Mosaic — measured 6x faster for the inverse and ~2x for the
 forward at n=16384 versus the reshape/concat formulation.
 
 Layout: a row of length n is the [G, B] matrix (G = n/128 sublanes, B = 128
-lanes). Stages with gap >= B pair rows along the G (sublane) axis in natural
-layout; stages with gap < B run after one in-VMEM transpose to [B, G],
-pairing along the B (sublane) axis. Twiddle tables are host-expanded
-full-width per element and per stage — natural order for head stages,
-transposed order for tail stages — so the kernel never transposes a table.
+lanes) for the WHOLE transform. Stages with gap >= B pair rows along the G
+(sublane) axis; stages with gap < B pair along the B axis with LANE-axis
+rolls — Mosaic's lane shift is as cheap as the sublane one, and skipping
+the two in-VMEM transposes of the earlier [B, G] tail formulation measured
+fwd 1.72 -> 1.67 us and inv 2.46 -> 1.57 us at n=16384. The inverse
+additionally uses the late-multiply classic GS butterfly (hi' =
+(x[lo] - x[hi])·w), which beat the multiply-first distributed form by
+another 0.12 us. Twiddle tables are host-expanded full-width per element
+and per stage in natural [G, B] order, so the kernel never transposes.
 
 Same math and same value ordering as ops/ntt.py; outputs are bitwise equal
 (tests/test_pallas.py).
@@ -100,16 +104,15 @@ def _full_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
     every HI position, zero at LO positions.
 
     head_full [L, s_head, n]      — flat in natural [G, B] order
-    tail_full [L, s_tail, B, G]   — host-shaped 2-D per stage (transposed
-                                    layout), so the kernel NEVER reshapes a
-                                    flat row to a small minor axis.
+    tail_full [L, s_tail, G, B]   — host-shaped 2-D per stage in NATURAL
+                                    [G, B] order (the kernel's tail stages
+                                    roll along the lane axis), so the
+                                    kernel never reshapes or transposes.
 
     Forward tables put the twiddle at HI positions only (LO entries zero;
-    the forward reads wh at hi positions exclusively). Inverse tables put
-    the stage twiddle at BOTH positions of each pair: the inverse kernel
-    distributes the GS butterfly (lo-hi)*w = lo*w - hi*w, multiplying the
-    whole tile by w BEFORE the rolls — same op count as the forward and
-    the Shoup multiply off the roll-dependent critical path."""
+    the forward reads wh at hi positions exclusively). Inverse tables also
+    carry it at LO positions — harmless for the classic-GS inverse kernel
+    (which only selects the hi output of the multiply)."""
     n = ctx.params.dimension
     logn = n.bit_length() - 1
     G = n // B
@@ -146,6 +149,9 @@ def _full_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
             if inverse:
                 f[:, :, 0] = tl
                 fs[:, :, 0] = tls
+    # kernel tail stages run in natural layout with lane rolls: [.., G, B]
+    tail_full = np.ascontiguousarray(np.swapaxes(tail_full, -1, -2))
+    tail_full_sh = np.ascontiguousarray(np.swapaxes(tail_full_sh, -1, -2))
     for a in (head_full, head_full_sh, tail_full, tail_full_sh):
         a.setflags(write=False)
     return head_full, head_full_sh, tail_full, tail_full_sh
@@ -154,8 +160,9 @@ def _full_tables(ctx, limb_ids: Tuple[int, ...], inverse: bool):
 def fwd_stage_chain(x, th_ref, th_sh_ref, tt_ref, tt_sh_ref, q, two_q,
                     n: int, bb: int):
     """The full forward butterfly chain on a VMEM-resident [bb, n] tile,
-    roll-based. th_ref: [1, s_head, n] head tables (natural order);
-    tt_ref: [1, s_tail, B, G] tail tables (host-shaped 2-D per stage).
+    roll-based, transpose-free. th_ref: [1, s_head, n] head tables
+    (natural order); tt_ref: [1, s_tail, G, B] tail tables (natural
+    order). Head stages roll along sublanes, tail stages along lanes.
     Rows are read straight from the refs. Shared by the standalone NTT
     kernel and the fused external-product kernel."""
     from jax.experimental.pallas import tpu as pltpu
@@ -180,22 +187,20 @@ def fwd_stage_chain(x, th_ref, th_sh_ref, tt_ref, tt_sh_ref, q, two_q,
         lo_out = ma.add_lazy(x, down_wh, two_q)
         hi_out = ma.sub_lazy(up_x, wh, two_q)
         x = jnp.where(is_hi, hi_out, lo_out)
-    x = jnp.swapaxes(x, -1, -2)  # [bb, B, G]
-    p_ids = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
-    for si in range(s_tail):  # tail: gap t < B, pair along B (sublanes)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, B), 2)
+    for si in range(s_tail):  # tail: gap t < B, pair along B (lanes)
         s = s_head + si
         t = n >> (s + 1)
         sbit = t.bit_length() - 1
         w = tt_ref[0, si]
         w_sh = tt_sh_ref[0, si]
         wh = ma.shoup_mul_lazy(x, w, w_sh, q)
-        down_wh = pltpu.roll(wh, B - t, 1)
-        up_x = pltpu.roll(x, t, 1)
-        is_hi = ((p_ids >> sbit) & 1) == 1
+        down_wh = pltpu.roll(wh, B - t, 2)
+        up_x = pltpu.roll(x, t, 2)
+        is_hi = ((lane_ids >> sbit) & 1) == 1
         lo_out = ma.add_lazy(x, down_wh, two_q)
         hi_out = ma.sub_lazy(up_x, wh, two_q)
         x = jnp.where(is_hi, hi_out, lo_out)
-    x = jnp.swapaxes(x, -1, -2)
     return x.reshape(bb, n)
 
 
@@ -208,11 +213,15 @@ def _fwd_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_
 
 
 def _inv_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_ref):
-    """Distributed-GS inverse: each stage computes m = x*w over the whole
-    tile FIRST (the inverse tables carry w at both pair positions), then
-    hi' = m[lo] - m[hi] via one roll of m — the Shoup multiply never waits
-    on a roll, mirroring the forward kernel's structure. Lazy values differ
-    from ops/ntt.py's (lo - hi)*w representatives (equal mod q)."""
+    """Classic-GS inverse, transpose-free: tail stages (gap t < B) roll
+    along the LANE axis in natural [G, B] layout, head stages along
+    sublanes. Each stage emits lo' = x[lo] + x[hi] and
+    hi' = (x[lo] - x[hi])·w — the late multiply measured 0.12 us faster
+    than the multiply-first distributed form, and dropping the two tail
+    transposes another 0.6 us (2.46 -> 1.57 us/transform at n=16384,
+    vs 1.67 forward). The Shoup input x[lo] + 2q - x[hi] < 4q < 2^32 is
+    in Harvey's full uint32 domain. Lazy values differ from ops/ntt.py's
+    representatives (equal mod q)."""
     from jax.experimental.pallas import tpu as pltpu
 
     logn = n.bit_length() - 1
@@ -224,34 +233,31 @@ def _inv_kernel(n, bb, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref, x_ref, o_
     n_inv = scal_ref[0, 0, 2]
     n_inv_sh = scal_ref[0, 0, 3]
     x = x_ref[0].reshape(bb, G, B)
-    x = jnp.swapaxes(x, -1, -2)  # [bb, B, G]: tail (small gaps) first
-    p_ids = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
-    for s in range(s_tail):
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, B), 2)
+    for s in range(s_tail):  # tail first: gap t < B, pair along lanes
         t = 1 << s
         w = tt_ref[0, s]
         w_sh = tt_sh_ref[0, s]
-        m = ma.shoup_mul_lazy(x, w, w_sh, q)
-        up_m = pltpu.roll(m, t, 1)      # m[p-t]
-        down = pltpu.roll(x, B - t, 1)  # x[p+t]
-        is_hi = ((p_ids >> s) & 1) == 1
+        up_x = pltpu.roll(x, t, 2)      # x[p-t]
+        down = pltpu.roll(x, B - t, 2)  # x[p+t]
+        is_hi = ((lane_ids >> s) & 1) == 1
         lo_out = ma.add_lazy(x, down, two_q)
-        hi_out = ma.sub_lazy(up_m, m, two_q)
+        hi_out = ma.shoup_mul_lazy(up_x + two_q - x, w, w_sh, q)
         x = jnp.where(is_hi, hi_out, lo_out)
-    x = jnp.swapaxes(x, -1, -2)  # [bb, G, B]
     g_ids = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
     for s in range(s_tail, logn):
         tg = 1 << (s - logb)
         w = th_ref[0, s - s_tail].reshape(G, B)
         w_sh = th_sh_ref[0, s - s_tail].reshape(G, B)
-        m = ma.shoup_mul_lazy(x, w, w_sh, q)
-        up_m = pltpu.roll(m, tg, 1)      # m[g-tg]
+        up_x = pltpu.roll(x, tg, 1)      # x[g-tg]
         down = pltpu.roll(x, G - tg, 1)  # x[g+tg]
         is_hi = ((g_ids >> (s - logb)) & 1) == 1
         if s == logn - 1:
+            # n^-1 on the lo half; the hi half's w already folds it in
             lo_out = ma.shoup_mul_lazy(x + down, n_inv, n_inv_sh, q)
         else:
             lo_out = ma.add_lazy(x, down, two_q)
-        hi_out = ma.sub_lazy(up_m, m, two_q)
+        hi_out = ma.shoup_mul_lazy(up_x + two_q - x, w, w_sh, q)
         x = jnp.where(is_hi, hi_out, lo_out)
     o_ref[0] = x.reshape(bb, n)
 
@@ -297,8 +303,8 @@ def make_ntt(ctx, limb_ids: Tuple[int, ...], inverse: bool, interpret: bool = Fa
             in_specs=[
                 pl.BlockSpec((1, s_head, n), lambda l, r: (l, 0, 0)),
                 pl.BlockSpec((1, s_head, n), lambda l, r: (l, 0, 0)),
-                pl.BlockSpec((1, s_tail, B, G), lambda l, r: (l, 0, 0, 0)),
-                pl.BlockSpec((1, s_tail, B, G), lambda l, r: (l, 0, 0, 0)),
+                pl.BlockSpec((1, s_tail, G, B), lambda l, r: (l, 0, 0, 0)),
+                pl.BlockSpec((1, s_tail, G, B), lambda l, r: (l, 0, 0, 0)),
                 pl.BlockSpec((1, 1, 8), lambda l, r: (l, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, bb, n), lambda l, r: (l, r, 0)),
             ],
