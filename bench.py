@@ -107,7 +107,17 @@ def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
     mods = ctx.moduli_of(ids)
     K = ckks.decode_limb_count(scale0, ids, mods)
 
-    if hcfg.df64_codec_enabled() and scale0 <= 2.0**40 and K <= 3:
+    # mirror the library's per-call selection (config.df64_*_selected plus
+    # ckks.encode's coefficient-magnitude gate) for a single-vector call —
+    # auto mode picks the host pipeline here (faster below the measured
+    # batch crossover); HEHUB-forced df64 (config.use_df64_codec=True)
+    # exercises the device path
+    max_abs = float(np.abs(vec).max(initial=0.0))
+    if (
+        hcfg.df64_encode_selected(1)
+        and scale0 * max(max_abs, 1.0) <= ckks._DF64_COEFF_BOUND
+        and K <= 3
+    ):
         from hehub_tpu.ops import df64
 
         half = n // 2
@@ -203,8 +213,14 @@ def bench_encode_decode(ctx, params, ids, sk, vec, enc_key, iters=8):
     assert np.allclose(np.real(out), vec, atol=2**-12), "round trip failed"
     t_ee = t_enc_host + t_enc_dev
     t_dd = t_dec_host + t_dec_dev
-    enc_parts = f"enc host {t_enc_host*1e3:.2f} + dev {t_enc_dev*1e3:.2f} ms"
-    dec_parts = f"dec dev {t_dec_dev*1e3:.2f} + host {t_dec_host*1e3:.2f} ms"
+    enc_parts = (
+        f"enc host {t_enc_host*1e3:.2f} + dev {t_enc_dev*1e3:.2f} ms"
+        f" [float64 host FFT]"
+    )
+    dec_parts = (
+        f"dec dev {t_dec_dev*1e3:.2f} + host {t_dec_host*1e3:.2f} ms"
+        f" [float64 host FFT]"
+    )
     return t_ee, t_dd, enc_parts, dec_parts
 
 
@@ -707,6 +723,47 @@ def main():
         flush=True,
     )
 
+    # ---- CKKS bootstrap at production shape (n=4096) -------------------------
+    # FIRST among the extras (round-4 lesson: running it last left it only
+    # 363 s of budget and the driver artifact got null four rounds running).
+    # On by default (BENCH_BOOT=0 disables). Runs in a subprocess under a
+    # hard timeout capped by the remaining bench budget: with the AOT
+    # artifact + compile cache primed it takes ~2 min; on a cold cache the
+    # subprocess is killed and the bench still completes with
+    # boot_ms = null rather than blowing the driver's budget.
+    boot_ms = None
+    boot_err = None
+    if os.environ.get("BENCH_BOOT", "0" if small else "1") == "1" \
+            and _remaining() > 180:
+        boot_n = int(os.environ.get("BENCH_BOOT_N", "4096"))
+        budget = min(
+            float(os.environ.get("BENCH_BOOT_TIMEOUT", "1500")),
+            _remaining() - 120,
+        )
+        boot_ms, boot_err = _bootstrap_subprocess(boot_n, budget)
+        if boot_ms is not None:
+            _err(f"[bench] CKKS bootstrap n={boot_n}: {boot_ms:.1f} "
+                 f"ms/refresh (device time, whole pipeline jitted; "
+                 f"max err {boot_err:.2e})")
+
+    # ---- CKKS bootstrap at the reference's flagship dimension (n=16384) ------
+    # Runs ONLY when its AOT artifact is on disk (a cold trace at this size
+    # is ~an hour of single-core Python — never inside the driver budget).
+    # The Pallas NTT engages end-to-end at this dimension (ops/ntt.py).
+    boot16_ms = boot16_err = None
+    boot16_n = 16384
+    art16 = os.path.join(
+        _REPO, ".boot_cache", f"boot_n{boot16_n}_L28_d63_s3.pkl"
+    )
+    if os.environ.get("BENCH_BOOT_16K", "0" if small else "1") == "1" \
+            and os.path.exists(art16) and _remaining() > 300:
+        boot16_ms, boot16_err = _bootstrap_subprocess(
+            boot16_n, _remaining() - 120
+        )
+        if boot16_ms is not None:
+            _err(f"[bench] CKKS bootstrap n={boot16_n}: {boot16_ms:.1f} "
+                 f"ms/refresh (device time; max err {boot16_err:.2e})")
+
     # ---- north-star ops at REFERENCE-EQUIVALENT depth ------------------------
     # The reference's create_params fills the whole per-dimension security
     # budget (438 bits at n=16384 -> L=13+1 here, basics.cpp:40-64); the
@@ -723,8 +780,15 @@ def main():
         )
 
     # ---- TFHE bootstrapped gate throughput (batched blind rotation) ----------
+    # BENCH_TFHE_BATCHES: comma-separated batch sizes to sweep; the
+    # reported gates/s is the BEST batch (VERDICT r4 #5: find the
+    # throughput knee — the blind rotation's monomial-table gathers and
+    # the int8-MXU key switch should keep scaling past 64).
     gates_per_sec = None
-    gate_batch = 64 if not small else 8
+    best_gate_batch = None
+    # default = measured-best batch on v5e (updated from the r5 sweep run;
+    # override with BENCH_TFHE_BATCHES=64,256,512,1024 to re-sweep)
+    default_batches = "64"
     if _remaining() > 120:
         from hehub_tpu.models import tfhe
 
@@ -735,59 +799,58 @@ def main():
         )
         _err(
             f"[bench] TFHE preset security ≈ {tparams.security_bits():.0f} "
-            f"bits (N={tparams.rlwe_dimension}, m={tparams.lwe_dimension})"
+            f"bits (N={tparams.rlwe_dimension}, m={tparams.lwe_dimension}; "
+            f"HEstd-anchored estimator, utils/security.py)"
         )
         tkeys = tfhe.keygen(tparams, jax.random.key(9))
-        bits = rng.integers(0, 2, (2, gate_batch)).astype(np.uint32)
-        ct1 = tfhe.lwe_encrypt(tparams, tfhe.encode_bit(tparams, bits[0]),
-                               tkeys.lwe_s, jax.random.key(10))
-        ct2 = tfhe.lwe_encrypt(tparams, tfhe.encode_bit(tparams, bits[1]),
-                               tkeys.lwe_s, jax.random.key(11))
-
-        # keys + monomial tables enter as jit parameters (make_nand
-        # docstring). batch 64 measured optimal on v5e (1.87 ms/gate vs
-        # 2.13 at 256).
         nand = tfhe.make_nand(tparams, tkeys)
-        out = nand(ct1, ct2)
-        got = np.asarray(tfhe.lwe_decrypt_bit(tparams, out, tkeys.lwe_s))
-        assert np.array_equal(got, 1 - (bits[0] & bits[1])), "NAND incorrect"
-        t_gate = _timeit(nand.fn, (ct1.a, ct1.b, ct2.a, ct2.b, nand.big),
-                         iters=2)
-        gates_per_sec = gate_batch / t_gate
-        _err(
-            f"[bench] TFHE bootstrapped NAND (N={tparams.rlwe_dimension}, "
-            f"m={tparams.lwe_dimension}): {t_gate*1e3/gate_batch:.2f} "
-            f"ms/gate ({gates_per_sec:.0f} gates/s batched x{gate_batch})"
-        )
+        batches = [
+            int(b) for b in os.environ.get(
+                "BENCH_TFHE_BATCHES", default_batches
+            ).split(",")
+        ]
+        for gate_batch in batches:
+            if _remaining() < 60:
+                _err("[bench] TFHE sweep truncated: budget exhausted")
+                break
+            bits = rng.integers(0, 2, (2, gate_batch)).astype(np.uint32)
+            ct1 = tfhe.lwe_encrypt(
+                tparams, tfhe.encode_bit(tparams, bits[0]), tkeys.lwe_s,
+                jax.random.key(10),
+            )
+            ct2 = tfhe.lwe_encrypt(
+                tparams, tfhe.encode_bit(tparams, bits[1]), tkeys.lwe_s,
+                jax.random.key(11),
+            )
+            # keys + monomial tables enter as jit parameters (make_nand
+            # docstring)
+            out = nand(ct1, ct2)
+            got = np.asarray(tfhe.lwe_decrypt_bit(tparams, out, tkeys.lwe_s))
+            assert np.array_equal(got, 1 - (bits[0] & bits[1])), \
+                "NAND incorrect"
+            t_gate = _timeit(nand.fn, (ct1.a, ct1.b, ct2.a, ct2.b, nand.big),
+                             iters=2)
+            gps = gate_batch / t_gate
+            _err(
+                f"[bench] TFHE bootstrapped NAND "
+                f"(N={tparams.rlwe_dimension}, m={tparams.lwe_dimension}): "
+                f"{t_gate*1e3/gate_batch:.2f} ms/gate ({gps:.0f} gates/s "
+                f"batched x{gate_batch})"
+            )
+            if gates_per_sec is None or gps > gates_per_sec:
+                gates_per_sec = gps
+                best_gate_batch = gate_batch
     else:
         _err("[bench] TFHE skipped: bench budget exhausted")
-
-    # ---- CKKS bootstrap at production shape (n=4096) ------------------------
-    # On by default (BENCH_BOOT=0 disables). Runs in a subprocess under a
-    # hard timeout capped by the remaining bench budget: with the compile
-    # cache primed it takes ~2 min; on a cold cache the subprocess is killed
-    # and the bench still completes with boot_ms = null rather than blowing
-    # the driver's budget (the round-3 failure mode).
-    boot_ms = None
-    boot_err = None
-    if os.environ.get("BENCH_BOOT", "0" if small else "1") == "1" \
-            and _remaining() > 180:
-        boot_n = int(os.environ.get("BENCH_BOOT_N", "4096"))
-        budget = min(
-            float(os.environ.get("BENCH_BOOT_TIMEOUT", "1500")),
-            _remaining() - 60,
-        )
-        boot_ms, boot_err = _bootstrap_subprocess(boot_n, budget)
-        if boot_ms is not None:
-            _err(f"[bench] CKKS bootstrap n={boot_n}: {boot_ms:.1f} "
-                 f"ms/refresh (device time, whole pipeline jitted; "
-                 f"max err {boot_err:.2e})")
 
     extra = {
         "ckks_bootstrap_ms": boot_ms,
         "ckks_bootstrap_max_err": boot_err,
         "ckks_bootstrap_n": int(os.environ.get("BENCH_BOOT_N", "4096")),
+        "ckks_bootstrap_16384_ms": boot16_ms,
+        "ckks_bootstrap_16384_max_err": boot16_err,
         "tfhe_gates_per_sec": gates_per_sec,
+        "tfhe_gate_batch": best_gate_batch,
         "ntt_fwd_us_per_transform": t_fwd * 1e6 / (batch * L),
         "intt_us_per_transform": t_inv * 1e6 / (batch * L),
         "intt_per_sec": intt_per_sec,

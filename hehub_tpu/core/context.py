@@ -127,6 +127,9 @@ class BgvParams(RlweParams):
 
 # Standard ~128-bit-security total log(Q·P) budgets per dimension
 # (≙ std_log_q_size, /root/reference/src/fhe/ckks/basics.cpp:41-43).
+# = the HomomorphicEncryption.org Standard v1.1 ternary-classical column;
+# utils/security.rlwe_budget_security_bits interpolates arbitrary
+# (dimension, logQP) pairs through the same estimator-derived table.
 STD_LOGQP_BUDGET = {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881}
 
 

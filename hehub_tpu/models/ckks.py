@@ -384,8 +384,9 @@ def encode(
         raise ValueError(f"can encode at most {n//2} slots")
     ids = tuple(range(len(params.moduli) - level))
     max_abs = float(np.abs(data).max(initial=0.0))
+    batch = int(np.prod(data.shape[:-1], dtype=np.int64))
     if (
-        _cfg.df64_codec_enabled()
+        _cfg.df64_encode_selected(batch)
         and scale * max(max_abs, 1.0) <= _DF64_COEFF_BOUND
     ):
         from hehub_tpu.ops import df64
@@ -466,7 +467,9 @@ def decode(
     Device: Garner mixed-radix digits over the first K limbs (K bound by the
     scaling factor, or `limbs`). Host: balanced-digit carry pass + float64
     evaluation + slot FFT. Exact to float64 precision for any coefficient
-    with |c| < (∏_{j<K} q_j)/2."""
+    with |c| < (∏_{j<K} q_j)/2 — except on the df64 fast path (batched
+    decodes with scale ≤ 2^43 on TPU, config.df64_decode_selected), whose
+    on-device double-float32 FFT carries ~48-bit relative precision."""
     ctx = make_context(params)
     n = params.dimension
     count = count or n // 2
@@ -484,8 +487,17 @@ def decode(
     from hehub_tpu import config as _cfg
 
     # df64 device path: K <= 3 keeps the Garner weights inside the f32
-    # product range (∏q <= 2^90; the Dekker split's 4097x stays < 2^127)
-    if _cfg.df64_codec_enabled() and K <= 3:
+    # product range (∏q <= 2^90; the Dekker split's 4097x stays < 2^127).
+    # Precision: the df64 pipeline carries ~48 mantissa bits (relative), so
+    # — mirroring encode's gate — it only engages when the scaling factor is
+    # within the coefficient bound; high-precision 2^48+ scales take the
+    # exact float64 host path below.
+    batch = int(np.prod(poly.data.shape[:-2], dtype=np.int64))
+    if (
+        _cfg.df64_decode_selected(batch)
+        and K <= 3
+        and pt.scaling_factor <= _DF64_COEFF_BOUND
+    ):
         from hehub_tpu.ops import df64
 
         ih_, il_ = df64.from_f64(1.0 / pt.scaling_factor)

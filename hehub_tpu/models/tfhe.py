@@ -76,30 +76,31 @@ class TfheParams:
 
 
 def lwe_security_bits(n: int, q: int, sigma: float) -> float:
-    """Approximate (R)LWE security for binary/ternary secrets:
-    λ ≈ 2.9 · n / log2(q/σ).
+    """Estimated (R)LWE security for binary/ternary secrets, interpolated
+    through the HomomorphicEncryption.org Standard v1.1 ternary-classical
+    table (itself lattice-estimator output) — see utils/security.py for the
+    anchor data, the model, and its cross-checks (TFHE-rs's 2^-128 gaussian
+    gate set n=742, log2(q/σ)=17.9 → 129.4 bits here; the original TFHE
+    gate set n=630, q=2^32, σ=2^17 → 130.2)."""
+    from hehub_tpu.utils import security as _sec
 
-    A linear fit of lattice-estimator outputs along the
-    HomomorphicEncryption.org standard tables; it reproduces the standard
-    anchor points within a few bits (n=630, q=2^32, σ=2^17 → ≈122 bits, the
-    original TFHE gate parameters; N=1024, q=2^32, σ=2^7 → ≈119;
-    N=2048, q=2^30, σ=3.2 → ≈210). A coarse model for preset selection —
-    run the lattice estimator before standardizing new parameters."""
-    import math
-
-    return 2.9 * n / math.log2(q / sigma)
+    return _sec.ternary_lwe_security_bits(n, q, sigma)
 
 
 # Documented parameter presets (VERDICT r1: bench parameters must be
 # defensible). The 128-bit preset mirrors the structure of the original
-# CGGI gate-bootstrapping sets, rebalanced for the 30-bit modulus:
-#   * LWE layer n=740, σ = 2^13.5 → q/σ = 2^16.5 → ≈130 bits.
-#   * accumulator N=2048, σ = 3.2 → q/σ = 2^28.3 → ≈210 bits.
+# CGGI gate-bootstrapping sets, rebalanced for the 30-bit modulus.
+# Security per utils/security.py (HEstd-v1.1-anchored estimator model):
+#   * LWE layer n=740, σ = 2^13.5 → q/σ = 2^16.5 → 141.1 bits.
+#   * accumulator N=2048, σ = 3.2 → q/σ = 2^28.3 → 246.0 bits.
+# (weakest link 141 bits; the TFHE-rs 128-bit gaussian set n=742,
+# log2(q/σ)=17.9 scores 129.4 on the same model — our preset keeps ~1.4
+# fewer modulus-to-noise bits, hence the margin.)
 #   * key-switch base 2^5 x 6 levels: KS noise ≈ √(N·l)·(B/2)·σ ≈ 2^24.3,
 #     6.5σ below the q/8 gate margin (per-gate error ~4e-11). A 2^10 base
 #     would put the digit-amplified noise at ≈2^29 ≈ q — unusable.
 # The toy preset keeps round-1's shape for fast functional tests and is
-# NOT secure (≈50 bits) — never deploy it.
+# NOT secure (LWE layer n=256, σ=3.2 → 9.5 bits) — never deploy it.
 PRESET_GATE_128 = TfheParams(
     rlwe_dimension=2048,
     lwe_dimension=740,

@@ -27,8 +27,8 @@ from hehub_tpu.ops.pallas import ntt_pallas as ntp
 def _kernel(n, bb, l, th_ref, th_sh_ref, tt_ref, tt_sh_ref, scal_ref,
             dig_ref, key_ref, o_ref):
     """Grid (L_ext, R/bb). Blocks:
-    th/tt: per-j full-width twiddles (head [1, s_head, n], tail
-    [1, s_tail, B, G]); scal [1,1,8] SMEM (q, two_q, neg_qinv of limb j);
+    th/tt: per-j full-width twiddles (head [1, s_head, n], tail natural
+    [1, s_tail, G, B]); scal [1,1,8] SMEM (q, two_q, neg_qinv of limb j);
     dig [bb, l, n] strict coeff digits;
     key [1, l, 2, n] Montgomery-domain key column j; out [1, bb, 2, n]."""
     q = scal_ref[0, 0, 0]

@@ -21,6 +21,7 @@ Variants (perf-only; some are mathematically WRONG on purpose):
 """
 
 import functools
+import sys
 import time
 
 import jax
@@ -266,7 +267,13 @@ def main():
 
     ref_inv = np.asarray(inv(data))
     ref_fwd = np.asarray(fwd(data))
-    for variant in ("inv_lane_classic",):
+    # all documented variants by default; CLI args narrow to a subset
+    # (e.g. `python scripts/probe_intt.py inv_lane_classic`)
+    variants = tuple(sys.argv[1:]) or (
+        "inv_noscale", "inv_classic", "inv_headfirst", "inv_mix_ch",
+        "inv_pre_t", "inv_lane", "inv_lane_classic", "fwd_lane",
+    )
+    for variant in variants:
         ref = ref_fwd if variant.startswith("fwd") else ref_inv
         try:
             f = jax.jit(make_variant(ctx, ids, variant))
