@@ -93,7 +93,17 @@ def div_last_rounded(
     corr = np.asarray(
         [(qj - q_last % qj) % qj for qj in rem_mods], dtype=np.uint32
     )[:, None]
-    r = v - jnp.where(v >= q, q, U32(0))  # strict mod q_j (v < q_last < 2 q_j)
+    if q_last < 2 * min(int(m) for m in rem_mods):
+        # uniform-width chains: v < q_last < 2 q_j, one subtract suffices
+        r = v - jnp.where(v >= q, q, U32(0))  # strict mod q_j
+    else:
+        # mixed-width chains (create_ckks_params_from_bit_lengths): q_last
+        # may dwarf a remaining limb — take v mod q_j via a Shoup multiply
+        # by 1 (valid for ANY uint32 input), then strict
+        w1, w1_sh = hm.shoup_pair_arrays([1] * len(rem_ids), rem_mods)
+        r = ma.reduce_strict(
+            ma.shoup_mul_lazy(v, w1[:, None], w1_sh[:, None], q), q
+        )
     r = r + jnp.where(v >= U32(q_last // 2), corr, U32(0))
 
     # 3. back to NTT under the remaining limbs
@@ -318,8 +328,17 @@ def to_mixed_radix(ctx: Context, data, limb_ids: Tuple[int, ...], k: int):
         qi = mods[i]
         two_qi = np.uint32(2 * qi)
         # acc = (y_0 + y_1·Q_1 + ... + y_{i-1}·Q_{i-1}) mod q_i, lazy.
-        # y_0 < q_0 < 2·q_i for 30-bit limb sets, a valid lazy input.
-        acc = ys[0]
+        if mods[0] < 2 * qi:
+            # uniform-width chains: y_0 < q_0 < 2·q_i, a valid lazy input
+            acc = ys[0]
+        else:
+            # mixed-width chains (create_ckks_params_from_bit_lengths):
+            # y_0 < q_0 may exceed 2·q_i — route the j=0 term through the
+            # same Shoup multiply (by the constant 1) as the others:
+            # shoup_mul_lazy accepts ANY uint32 input, lands in [0, 2·q_i)
+            acc = ma.shoup_mul_lazy(
+                ys[0], np.uint32(1), np.uint32(hm.shoup(1, qi)), np.uint32(qi)
+            )
         for j in range(1, i):
             w = 1
             for m in mods[:j]:

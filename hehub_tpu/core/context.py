@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -57,8 +57,14 @@ class RlweParams:
         if len(set(all_mods)) != len(all_mods):
             raise ValueError("moduli must be distinct")
         for q in all_mods:
-            if not (1 << 29) <= q < (1 << 30):
-                raise ValueError(f"modulus {q} outside the 30-bit lane range")
+            # uint32 lanes with lazy [0, 2q) residues need q < 2^30 (so
+            # 4q < 2^32 in the butterflies); narrower primes down to 23
+            # bits are fine — Shoup/Montgomery preconditions only cap q
+            # from above, and q >= 2^22 keeps the base-2^22/2^23 digit
+            # planes of basecnv.decompose_* valid lazy inputs
+            # (create_ckks_params_from_bit_lengths uses mixed widths)
+            if not (1 << 22) <= q < (1 << 30):
+                raise ValueError(f"modulus {q} outside the [23, 30]-bit lane range")
             if q % (2 * n) != 1 or not hm.is_prime(q):
                 raise ValueError(f"{q} is not an NTT prime for n={n}")
 
@@ -193,6 +199,79 @@ def create_ckks_params(
         moduli=tuple(primes[num_special:]),
         special_mod=tuple(primes[:num_special]) if num_special != 1 else primes[0],
         initial_scaling_factor=float(2.0**scaling_bits),
+    )
+
+
+def create_ckks_params_from_bit_lengths(
+    dimension: int,
+    moduli_bits: Sequence[int],
+    special_mod_bits: Union[int, Sequence[int]] = 30,
+    initial_scaling_factor: Optional[float] = None,
+    use_security_budget: bool = True,
+) -> CkksParams:
+    """Per-prime-bit-width parameter selection (≙ ckks::create_params
+    (dimension, moduli_bits, additional_mod_bits, scaling),
+    /root/reference/src/fhe/ckks/basics.cpp:14-38): callers pick the width
+    of every chain prime and of the key-switch special prime(s).
+
+    TPU-native limbs are uint32 with 30-bit lazy headroom, so each width
+    must be in [20, 30]; the reference's wide primes (up to 59 bits) map
+    onto MULTI-LIMB scaling factors here instead — create_ckks_params with
+    scaling_bits up to 55 spans several limbs per rescale and covers the
+    same precision regimes (PARITY.md "known deltas").
+
+    The default scaling factor is 2^(last chain width), matching the
+    reference's convention that the trailing moduli carry the scale."""
+    if not moduli_bits:
+        raise ValueError("need at least one chain modulus")
+    specials = (
+        (special_mod_bits,)
+        if isinstance(special_mod_bits, int)
+        else tuple(special_mod_bits)
+    )
+    for w in (*moduli_bits, *specials):
+        if not 23 <= w <= 30:
+            raise ValueError(
+                f"per-prime widths must be in [23, 30] bits (got {w}): "
+                "uint32 lanes need q < 2^30 for lazy arithmetic and "
+                "q >= 2^22 for the digit-plane decompositions; for wider "
+                "effective scales use create_ckks_params with a multi-limb "
+                "scaling factor (scaling_bits up to 55)"
+            )
+    if use_security_budget:
+        budget = STD_LOGQP_BUDGET.get(dimension)
+        if budget is None:
+            raise ValueError(
+                f"no standard security budget for dimension {dimension}; "
+                "pass use_security_budget=False to opt out explicitly"
+            )
+        total = sum(moduli_bits) + sum(specials)
+        if total > budget:
+            raise ValueError(
+                f"sum of prime widths ({total} bits) exceeds the 128-bit-"
+                f"security budget ({budget} bits) for dimension {dimension}"
+            )
+    # one downward scan per distinct width keeps all primes distinct:
+    # same-width primes come from one gen_ntt_primes call, different
+    # widths occupy disjoint ranges [2^(w-1), 2^w)
+    order = [*specials, *moduli_bits]
+    need: Dict[int, int] = {}
+    for w in order:
+        need[w] = need.get(w, 0) + 1
+    pools = {w: list(hm.gen_ntt_primes(w, c, dimension)) for w, c in need.items()}
+    picked = [pools[w].pop(0) for w in order]
+    special = picked[: len(specials)]
+    chain = tuple(picked[len(specials):])
+    scale = (
+        float(initial_scaling_factor)
+        if initial_scaling_factor is not None
+        else float(2.0 ** moduli_bits[-1])
+    )
+    return CkksParams(
+        dimension=dimension,
+        moduli=chain,
+        special_mod=tuple(special) if len(special) != 1 else special[0],
+        initial_scaling_factor=scale,
     )
 
 

@@ -234,6 +234,21 @@ decompose_digits = basecnv.decompose_digits
 _DF64_COEFF_BOUND = 2.0**43
 
 
+def _trace_clean() -> bool:
+    """True when NOT under an active JAX trace. The df64 fast paths build
+    jitted closures whose table constants (`jnp.asarray(...)`) would be
+    lifted into the ambient trace and lru-cached — leaking tracers into
+    later traces (seen as UnexpectedTracerError in the r4-era bootstrap
+    plan encodes). Circuits that encode plan constants while tracing get
+    the pure-host pipeline instead."""
+    try:
+        from jax._src import core as _jcore
+
+        return bool(_jcore.trace_state_clean())
+    except Exception:
+        return True
+
+
 @functools.lru_cache(maxsize=None)
 def _df64_enc_tables(n: int):
     from hehub_tpu.ops import df64
@@ -388,6 +403,7 @@ def encode(
     if (
         _cfg.df64_encode_selected(batch)
         and scale * max(max_abs, 1.0) <= _DF64_COEFF_BOUND
+        and _trace_clean()
     ):
         from hehub_tpu.ops import df64
 
@@ -497,6 +513,7 @@ def decode(
         _cfg.df64_decode_selected(batch)
         and K <= 3
         and pt.scaling_factor <= _DF64_COEFF_BOUND
+        and _trace_clean()
     ):
         from hehub_tpu.ops import df64
 

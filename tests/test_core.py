@@ -179,3 +179,61 @@ def test_samplers_reproducible_by_key():
     c = sampling.gaussian_poly(ctx, jax.random.key(8), ids)
     np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
     assert not np.array_equal(np.asarray(a.data), np.asarray(c.data))
+
+
+# ---------------------------------------------------------------------------
+# Per-prime-bit-width parameter lists (≙ ckks::create_params(dimension,
+# moduli_bits, additional_mod_bits, scaling), basics.cpp:14-38)
+# ---------------------------------------------------------------------------
+
+
+def test_bit_length_params_widths_and_distinctness():
+    from hehub_tpu.core.context import create_ckks_params_from_bit_lengths
+
+    params = create_ckks_params_from_bit_lengths(
+        256, [30, 25, 25, 23], special_mod_bits=30,
+        use_security_budget=False,
+    )
+    widths = [q.bit_length() for q in params.moduli]
+    assert widths == [30, 25, 25, 23]
+    allp = (params.special_mod, *params.moduli)
+    assert len(set(allp)) == len(allp)
+    for q in allp:
+        assert hm.is_prime(q) and q % (2 * 256) == 1
+    # default scale follows the trailing chain width
+    assert params.initial_scaling_factor == 2.0**23
+
+
+def test_bit_length_params_budget_and_width_guards():
+    from hehub_tpu.core.context import create_ckks_params_from_bit_lengths
+
+    with pytest.raises(ValueError):  # 4*30 > 27-bit budget at n=1024
+        create_ckks_params_from_bit_lengths(1024, [30, 30, 30])
+    with pytest.raises(ValueError):  # width beyond the uint32 lane design
+        create_ckks_params_from_bit_lengths(
+            256, [36, 30], use_security_budget=False
+        )
+
+
+def test_bit_length_params_roundtrip_and_mult():
+    """Encode/encrypt/mult/rescale_auto/decrypt/decode on a mixed-width
+    chain: the flexible-scale machinery must track non-uniform limb drops."""
+    from hehub_tpu.core.context import create_ckks_params_from_bit_lengths
+    from hehub_tpu.rlwe import keys as keys_mod
+    from hehub_tpu.rlwe import rlwe as rlwe_mod
+
+    params = create_ckks_params_from_bit_lengths(
+        256, [30, 28, 26, 24], special_mod_bits=30,
+        initial_scaling_factor=2.0**24, use_security_budget=False,
+    )
+    ctx = make_context(params)
+    sk = rlwe_mod.keygen(ctx, jax.random.key(0))
+    rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    rng = np.random.default_rng(5)
+    va = rng.uniform(-1, 1, 128)
+    vb = rng.uniform(-1, 1, 128)
+    cta = ckks.encrypt(ctx, ckks.encode(va, params), sk, jax.random.key(2))
+    ctb = ckks.encrypt(ctx, ckks.encode(vb, params), sk, jax.random.key(3))
+    prod = ckks.rescale_auto(ctx, ckks.mult(ctx, cta, ctb, rlk))
+    got = np.real(ckks.decode(ckks.decrypt(ctx, prod, sk), params))
+    np.testing.assert_allclose(got, va * vb, atol=2e-4)
