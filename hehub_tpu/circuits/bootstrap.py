@@ -171,9 +171,19 @@ def _merged_chain_matrices(n: int, lt_stages: int):
     c2s_r = [adj[j] for j in range(k - 1, -1, -1)]
     c2s_im = list(c2s_r)
     c2s_im[0] = adj[k - 1] @ np.diag(np.conj(D))
-    # fold the 1/n into the last applied factor of each c2s chain
-    c2s_r[-1] = c2s_r[-1] / n
-    c2s_im[-1] = c2s_im[-1] / n
+    # Distribute the c2s 1/n normalization across the stages so every
+    # folded factor has the SAME rms gain κ = (Π gains / n)^(1/k): each
+    # group is ~√2-per-butterfly scaled-unitary, so folding the whole 1/n
+    # into one factor makes that factor's entries ~1/n — its plan
+    # quantization error is then ~n× the entry magnitude. Balanced folds
+    # keep plan entries O(κ/g_t) and minimize Σ_t 1/(g_t·c_t), the exact
+    # weight with which per-stage plan error reaches the output (r5 fix:
+    # this was the dominant bootstrap error term at n=4096).
+    gains = [np.linalg.norm(M) / np.sqrt(n / 2) for M in c2s_r]
+    kappa = (np.prod(gains) / n) ** (1.0 / k)
+    folds = [kappa / g for g in gains]
+    c2s_r = [M * c for M, c in zip(c2s_r, folds)]
+    c2s_im = [M * c for M, c in zip(c2s_im, folds)]
     s2c_r = list(groups)
     s2c_im = list(groups)
     s2c_im[-1] = np.diag(D) @ s2c_im[-1]
@@ -1043,9 +1053,25 @@ class Bootstrapper:
         q_drop = self.ctx.mod_list[ct.c0.limb_count - 1]
         return self.params.initial_scaling_factor * q_drop
 
-    def _chain(self, name: str, mats, ct: ckks.CkksCt) -> ckks.CkksCt:
+    def _balanced_pt_scale(self, ct: ckks.CkksCt, k: int) -> float:
+        """Geometric-mean plaintext scale for a k-stage chain entered at
+        `ct`: Π pt_scale_t is pinned to Δ·Πq_drop/ct_scale by the scale
+        algebra, so equal pt_scales minimize the total plan quantization
+        error (the r5 accuracy fix: the old per-stage Δ·q_drop targets gave
+        the mod-raised chain pt_scales of [2^60, 2^30, 2^30] — balancing
+        yields 2^40 at every stage, ~2^10 less rounding where it matters)."""
+        L = ct.c0.limb_count
+        prod = self.params.initial_scaling_factor
+        for t in range(k):
+            prod *= float(self.ctx.mod_list[L - 1 - t])
+        return (prod / ct.scaling_factor) ** (1.0 / k)
+
+    def _chain(self, name: str, mats, ct: ckks.CkksCt,
+               pt_scale: Optional[float] = None) -> ckks.CkksCt:
         for t, M in enumerate(mats):
-            ct = self._lt(f"{name}{t}", M, ct, self._default_target(ct))
+            target = (self._default_target(ct) if pt_scale is None
+                      else ct.scaling_factor * pt_scale)
+            ct = self._lt(f"{name}{t}", M, ct, target)
         return ct
 
     def coeff_to_slot(self, ct: ckks.CkksCt):
@@ -1056,12 +1082,14 @@ class Bootstrapper:
             c2s_r, c2s_im, _, _ = _merged_chain_matrices(
                 self.params.dimension, self.lt_stages
             )
-            target = self._default_target(ct)
+            pt_bal = self._balanced_pt_scale(ct, len(c2s_r))
+            target = ct.scaling_factor * pt_bal
             u, u2 = self._lt_pair(("c2sR0", c2s_r[0]), ("c2sI0", c2s_im[0]),
                                   ct, target)
-            u = self._chain("c2sR", c2s_r[1:], u) if len(c2s_r) > 1 else u
-            u2 = self._chain("c2sI", c2s_im[1:], u2) if len(c2s_im) > 1 \
-                else u2
+            u = self._chain("c2sR", c2s_r[1:], u, pt_bal) \
+                if len(c2s_r) > 1 else u
+            u2 = self._chain("c2sI", c2s_im[1:], u2, pt_bal) \
+                if len(c2s_im) > 1 else u2
             r = ckks.add(self.ctx, u,
                          ckks.conjugate(self.ctx, u, self.conj_key))
             im = ckks.add(self.ctx, u2,

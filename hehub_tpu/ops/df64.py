@@ -5,8 +5,14 @@ UNEVALUATED SUM of two float32s (hi, lo) with |lo| <= ulp(hi)/2 — the
 classic double-double construction (Dekker 1971) at float32 base
 precision, giving ~48 mantissa bits. All building blocks are error-free
 transforms (TwoSum / Dekker split / TwoProd) built only from IEEE f32
-add/mul, which XLA lowers verbatim to the VPU (it never reassociates
-floats), so results are bit-reproducible across CPU and TPU.
+add/mul. The TPU backend (XLA:TPU and Pallas/Mosaic) lowers these
+faithfully; XLA:CPU does NOT inside broadcast-bearing fusions (it
+reassociates/mis-rounds the add chains — see two_sum's caveat), which is
+one of the reasons the codec is TPU-gated in hehub_tpu/config.py.
+Compilers may also contract mul+add chains into FMAs, which changes
+residuals at ulp level (and tightens them), so df64 results are
+precision-reproducible, not bit-reproducible, across backends and
+schedules.
 
 Purpose: run the CKKS encode/decode slot FFT **on device** (the last host
 stage of the pipeline — /root/reference/src/fhe/ckks/basics.cpp:156-366
@@ -38,7 +44,18 @@ _SPLIT = np.float32(4097.0)  # 2^12 + 1: Dekker split constant for f32
 
 
 def two_sum(a, b):
-    """Knuth TwoSum: a + b = s + e exactly (6 flops, branch-free)."""
+    """Knuth TwoSum: a + b = s + e exactly (6 flops, branch-free).
+
+    CAVEAT (CPU backend only): XLA:CPU's codegen for broadcast-bearing
+    fusions reassociates/mis-rounds f32 add chains, so EFT identities are
+    NOT faithful there when any fused operand is a (non-degenerate)
+    broadcast — measured ~2^-24 relative degradation; neither
+    optimization_barrier on the inputs nor --xla_cpu_enable_fast_math=
+    false/--xla_allow_excess_precision=false suppresses it. The TPU
+    backend (XLA:TPU and Pallas/Mosaic) honors the ops as written; the
+    df64 codec is TPU-gated (hehub_tpu/config.py) for exactly this
+    reason, and CPU tests of batched broadcast paths assert the f32
+    floor (tests/test_df64.py::test_pallas_fft_matches_xla)."""
     s = a + b
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
@@ -46,7 +63,8 @@ def two_sum(a, b):
 
 
 def quick_two_sum(a, b):
-    """Fast TwoSum; requires |a| >= |b| (or a == 0)."""
+    """Fast TwoSum; requires |a| >= |b| (or a == 0). See two_sum's CPU
+    caveat."""
     s = a + b
     e = b - (s - a)
     return s, e
@@ -225,7 +243,22 @@ def fft(x4, m: int):
     """In-order DIT FFT over the last axis: input must be pre-permuted to
     bit-reversed order (callers fold `bitrev_perm` into their input
     gather); output is the natural-order forward DFT. x4: complex df64
-    4-tuple of [..., m] f32 arrays."""
+    4-tuple of [..., m] f32 arrays.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/pallas/fft_pallas.py, bitwise-equal); the XLA stage chain below
+    is the portable fallback."""
+    from hehub_tpu import config as _cfg
+
+    if m >= 256 and _cfg.pallas_enabled():
+        from hehub_tpu.ops.pallas import fft_pallas
+
+        return fft_pallas.fft(x4, m)
+    return fft_xla(x4, m)
+
+
+def fft_xla(x4, m: int):
+    """The unfused XLA stage-chain FFT (see `fft`)."""
     tables = fft_tables(m)
     logm = m.bit_length() - 1
     for s in range(logm):

@@ -77,6 +77,34 @@ def test_fft_matches_numpy():
     assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-11
 
 
+def test_pallas_fft_matches_xla():
+    """The fused Pallas FFT kernel (interpret mode on CPU) computes the
+    same transform as the XLA stage chain. Tolerances are backend-scoped:
+    XLA:CPU mis-rounds f32 add chains inside broadcast-bearing fusions
+    (see ops/df64.two_sum's caveat), so BATCHED rows — where the [G, B]
+    twiddle table broadcasts against [bb, G, B] data — only reach the f32
+    floor on CPU, while the unbatched case (degenerate broadcast) shows
+    the true df64 precision both kernels deliver on TPU. The on-chip
+    accuracy gate is bench.py's encode/decode roundtrip assert."""
+    from hehub_tpu.ops.pallas import fft_pallas
+
+    m = 1024
+    rng = np.random.default_rng(5)
+    br = df64.bitrev_perm(m)
+    for batch, tol in (((), 1e-11), ((3,), 3e-6)):
+        x = rng.uniform(-1, 1, (*batch, m)) + 1j * rng.uniform(
+            -1, 1, (*batch, m))
+        x4 = tuple(jnp.asarray(p) for p in df64.cfrom_c128(x[..., br]))
+        ref = jax.jit(lambda a: df64.fft_xla(a, m))(x4)
+        got = fft_pallas.fft(x4, m, interpret=True)
+        exact = np.fft.fft(x, axis=-1)
+        scale = np.abs(exact).max()
+        gc = df64.cto_c128(*(np.asarray(p) for p in got))
+        rc = df64.cto_c128(*(np.asarray(p) for p in ref))
+        assert np.abs(gc - exact).max() / scale < tol
+        assert np.abs(rc - exact).max() / scale < tol
+
+
 @pytest.fixture
 def df64_forced():
     old = config.use_df64_codec
