@@ -287,6 +287,17 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63, split=None):
         return _time_boot_stages(refresh, ct, ctx, params, sk, v)
 
     rlk = keys_mod.relin_key(ctx, sk, jax.random.key(1))
+    # n >= 16384: trace the refresh with the XLA NTT chain. The Pallas
+    # kernel's full-width twiddle tables ([L, stages, n] x4 ~ 113 MB at
+    # n=16384 L=31) are jaxpr constants, and the remote-compile helper
+    # rejects the serialized stage programs with HTTP 413. A tunnel
+    # payload limit, not a design one — the Pallas kernel itself is
+    # benched at this n in the headline NTT section.
+    from hehub_tpu import config as _hcfg
+
+    prev_pallas = _hcfg.use_pallas
+    if n >= 16384:
+        _hcfg.use_pallas = False
     # factored (radix) C2S/S2C at production dims: fewer rotation keys (52
     # vs 94 at n=4096) and ~100x less plan storage than dense BSGS, at 2
     # extra levels per transform (accuracy stays well under 1e-3)
@@ -327,6 +338,7 @@ def bench_bootstrap(n=4096, num_levels=28, degree=63, split=None):
         boot_artifact.save(refresh, art_path)
         _err(f"[bench] bootstrap artifact saved+primed in "
              f"{time.perf_counter()-t0:.1f}s ({art_path})")
+    _hcfg.use_pallas = prev_pallas
     if not split:
         got = np.real(ckks.decode(ckks.decrypt(ctx, out_ct, sk), params))
         err = float(np.abs(got - v).max())

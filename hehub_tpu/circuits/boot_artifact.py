@@ -141,12 +141,24 @@ def save(refresh, path: str) -> None:
             f, protocol=4,
         )
     os.replace(tmp, path)
-    # prime the persistent compile cache for exactly what load() compiles
-    loaded = LoadedBootstrapper(path)
-    ct0 = _zero_ct(loaded)
+    # prime the persistent compile cache for exactly what load() compiles.
+    # Best-effort: with the LIVE refresh's weights still resident, loading
+    # a second full copy can exhaust HBM at large n (seen at n=16384:
+    # 2 x ~7 GB on a 16 GB chip) — the artifact is already valid, and a
+    # fresh process (the driver's subprocess flow) completes the priming,
+    # so an exec failure here only costs that first run's compile time.
     import jax
 
-    jax.block_until_ready(loaded(ct0).c0.data)
+    try:
+        loaded = LoadedBootstrapper(path)
+        ct0 = _zero_ct(loaded)
+        jax.block_until_ready(loaded(ct0).c0.data)
+    except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+        import sys
+
+        print(f"[boot_artifact] save-time prime run failed ({e!r}) — "
+              f"artifact saved; a fresh process will finish compiling",
+              file=sys.stderr, flush=True)
 
 
 def _zero_ct(lb: "LoadedBootstrapper") -> ckks.CkksCt:
