@@ -40,10 +40,19 @@ def _enable_compile_cache():
     development) the driver's bench run replays it in seconds."""
     import jax
 
+    from hehub_tpu import config as _cfg
+
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # The tunnel's remote-compile helper rejects serialized programs with
+    # embedded constants beyond its HTTP body limit (413 observed between
+    # ~48 and ~102 MB of twiddle tables). 30 MiB per kernel family keeps
+    # every measured-working configuration (full-depth n=16384 L=13 =
+    # 24 MiB) on the Pallas kernels and sends oversized ones (n=32768
+    # full-depth: 51 MiB) to the XLA chains.
+    _cfg.pallas_table_budget_mb = 30
 
 
 def _timeit(fn, args, warmup=2, iters=8):

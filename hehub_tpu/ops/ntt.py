@@ -167,11 +167,18 @@ def _pallas_ok(ctx, data) -> bool:
     from hehub_tpu import config
 
     # Measured on v5e (r3): the XLA stage chain beats the roll-based Pallas
-    # kernel at every n <= 8192 (up to 7x at n=2048) and only loses at
+    # kernel at every n <= 8192 (up to 7x at n=2048; re-confirmed r5 at
+    # high row counts, scripts/probe_ntt_batch.py) and only loses at
     # n = 16384+ on bench-like shapes ([64, 7, 16384]: fwd 1.72 vs 2.70 us).
     # Below n=1024 the transposed tail's minor axis (n/128 < 8) also pads
-    # too hard for Mosaic.
-    return config.pallas_enabled() and data.shape[-1] >= 16384
+    # too hard for Mosaic. The table-budget check keeps oversized
+    # configurations off the kernel where embedded-constant size matters
+    # (config.pallas_table_budget_mb).
+    return (
+        config.pallas_enabled()
+        and data.shape[-1] >= 16384
+        and config.pallas_tables_fit(data.shape[-2], data.shape[-1])
+    )
 
 
 def ntt(ctx, data, limb_ids: Tuple[int, ...]):

@@ -246,7 +246,8 @@ def ext_prod(ctx: Context, poly: RnsPoly, rgsw: RgswCt) -> rlwe_mod.RlweCt:
     from hehub_tpu import config
 
     if alpha == 1:
-        if config.pallas_enabled() and n >= 1024:
+        if config.pallas_enabled() and n >= 1024 \
+                and config.pallas_tables_fit(len(ids_ext), n):
             # fused kernel: digit NTTs + Montgomery contraction stay in VMEM
             # per output limb (bitwise equal to the XLA path below)
             from hehub_tpu.ops.pallas import extprod_pallas
@@ -285,7 +286,8 @@ def ext_prod(ctx: Context, poly: RnsPoly, rgsw: RgswCt) -> rlwe_mod.RlweCt:
             conv = basecnv.base_convert(ctx, grp_poly, ids_ext, signed=True)
             digit_list.append(conv.data)
         tiled = jnp.stack(digit_list, axis=-3)  # [..., D, L_ext, n]
-        if config.pallas_enabled() and n >= 1024:
+        if config.pallas_enabled() and n >= 1024 \
+                and config.pallas_tables_fit(len(ids_ext), n):
             # fused kernel on the pre-converted digits (bitwise equal to the
             # XLA path below)
             from hehub_tpu.ops.pallas import extprod_pallas
